@@ -1,0 +1,221 @@
+"""Tile binning: deterministic, scatter-free, static-shape.
+
+TPU-native replacement for the reference's cub-based binning
+(duplicateWithKeys / radix sort / identifyTileRanges,
+rasterizer_impl.cu:70-171,330-373). Differences by design:
+
+- tiles are 32x32 pixels (TPU (8,128) vector layout), not 16x16 CUDA blocks;
+- the duplicated key list has a *static* capacity. Overflow drops the deepest
+  Gaussians (they are occluded most often) and is reported so the host can
+  re-jit with a larger capacity;
+- instead of sorting (tile << 32 | depth_bits) keys, Gaussians are depth-
+  sorted once (P-sized sort), keys are expanded in depth order by pure
+  gathers (searchsorted), and one stable sort by tile id yields the
+  (tile, depth)-ordered list — same order the reference produces;
+- every tile's segment is padded to a multiple of CHUNK_SIZE so Pallas
+  kernels can move fixed-size blocks with no tail masking, and the padded
+  slots carry opacity 0 (they blend to nothing).
+
+Everything is gather/cumsum/sort based — no scatter, no atomics, and the
+result is bit-deterministic run to run.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..constants import MAX_TILES_PER_GAUSSIAN, TILE_H, TILE_W
+
+CHUNK_SIZE = 128  # Gaussians per VMEM chunk in the blend kernels
+
+# Per-Gaussian tile rect is clamped to at most 8x8 tiles (= 256x256 px),
+# centered on the projected mean. MAX_TILES_PER_GAUSSIAN = 64.
+MAX_RECT_SIDE = 8
+assert MAX_RECT_SIDE * MAX_RECT_SIDE == MAX_TILES_PER_GAUSSIAN
+
+
+class TileRect(NamedTuple):
+    x0: jnp.ndarray  # inclusive tile mins (int32)
+    y0: jnp.ndarray
+    w: jnp.ndarray  # rect extents in tiles (int32, >= 0)
+    h: jnp.ndarray
+
+
+def tile_grid(width: int, height: int):
+    """Number of tiles along x/y for an image."""
+    ntx = -(-width // TILE_W)
+    nty = -(-height // TILE_H)
+    return ntx, nty
+
+
+def gaussian_rects(mean2d: jnp.ndarray, radius: jnp.ndarray, valid: jnp.ndarray, ntx: int, nty: int) -> TileRect:
+    """Tile rect per Gaussian (getRect, auxiliary.h:64-74), clamped to the
+    static MAX_RECT_SIDE window centered on the projected mean."""
+    px, py = mean2d[:, 0], mean2d[:, 1]
+    x0 = jnp.clip(jnp.floor((px - radius) / TILE_W).astype(jnp.int32), 0, ntx)
+    y0 = jnp.clip(jnp.floor((py - radius) / TILE_H).astype(jnp.int32), 0, nty)
+    x1 = jnp.clip(jnp.floor((px + radius + TILE_W - 1) / TILE_W).astype(jnp.int32), 0, ntx)
+    y1 = jnp.clip(jnp.floor((py + radius + TILE_H - 1) / TILE_H).astype(jnp.int32), 0, nty)
+    w = jnp.maximum(x1 - x0, 0)
+    h = jnp.maximum(y1 - y0, 0)
+
+    # Clamp giant rects to a MAX_RECT_SIDE window centered on the mean tile.
+    cx = jnp.clip((px / TILE_W).astype(jnp.int32), 0, ntx - 1)
+    cy = jnp.clip((py / TILE_H).astype(jnp.int32), 0, nty - 1)
+    nx0 = jnp.clip(cx - MAX_RECT_SIDE // 2, x0, jnp.maximum(x1 - MAX_RECT_SIDE, x0))
+    ny0 = jnp.clip(cy - MAX_RECT_SIDE // 2, y0, jnp.maximum(y1 - MAX_RECT_SIDE, y0))
+    x0 = jnp.where(w > MAX_RECT_SIDE, nx0, x0)
+    y0 = jnp.where(h > MAX_RECT_SIDE, ny0, y0)
+    w = jnp.minimum(w, MAX_RECT_SIDE)
+    h = jnp.minimum(h, MAX_RECT_SIDE)
+
+    w = jnp.where(valid, w, 0)
+    h = jnp.where(valid, h, 0)
+    return TileRect(x0=x0, y0=y0, w=w, h=h)
+
+
+class Binning(NamedTuple):
+    """Static-capacity tile-binned Gaussian list.
+
+    All arrays are jit-stable shapes; `slot_to_gaussian` indexes into the
+    original (unsorted) Gaussian arrays. Slots not backed by a real
+    (Gaussian, tile) pair have `slot_valid == False` and gaussian id P
+    (one-past-the-end, for padded gathers).
+    """
+
+    slot_to_gaussian: jnp.ndarray  # [CAP_PAD] int32, == P for padding
+    slot_valid: jnp.ndarray  # [CAP_PAD] bool
+    tile_start: jnp.ndarray  # [NTILES] int32 chunk-aligned segment starts
+    tile_chunks: jnp.ndarray  # [NTILES] int32 number of CHUNK_SIZE chunks
+    # mapping back to the depth-ordered duplication layout, for the
+    # deterministic per-Gaussian gradient reduction:
+    dup_offsets: jnp.ndarray  # [P+1] int32 exclusive duplication offsets (depth order)
+    depth_order: jnp.ndarray  # [P] int32 Gaussian ids sorted by depth
+    slot_from_dup: jnp.ndarray  # [CAP] int32: final slot of each depth-order dup entry
+    num_keys: jnp.ndarray  # scalar int32: real duplicated keys (pre-drop)
+    overflow: jnp.ndarray  # scalar bool: capacity exceeded (deepest dropped)
+
+
+def bin_gaussians(
+    depth: jnp.ndarray,
+    rects: TileRect,
+    ntx: int,
+    nty: int,
+    capacity: int,
+) -> Binning:
+    """Build the (tile, depth)-ordered duplicated Gaussian list.
+
+    Args:
+      depth: [P] view-space depths (invalid Gaussians may hold anything;
+        rects.w/h are 0 for them).
+      capacity: static maximum number of duplicated keys (pre-padding).
+    """
+    P = depth.shape[0]
+    ntiles = ntx * nty
+    counts = rects.w * rects.h  # [P]
+
+    # 1. depth order (invalid = count 0 pushed back with +inf)
+    sort_depth = jnp.where(counts > 0, depth, jnp.inf)
+    order = jnp.argsort(sort_depth)  # [P] gaussian ids, near to far
+    cnt_o = counts[order]
+    off_o = jnp.concatenate([jnp.zeros((1,), cnt_o.dtype), jnp.cumsum(cnt_o)])  # [P+1]
+    num_keys = off_o[-1]
+    overflow = num_keys > capacity
+
+    # 2. expand to duplicated entries by pure gathers: dup slot k belongs to
+    #    depth-rank i = searchsorted(off, k) - 1, local index j = k - off[i].
+    k = jnp.arange(capacity, dtype=jnp.int32)
+    i = jnp.searchsorted(off_o, k, side="right").astype(jnp.int32) - 1
+    i = jnp.clip(i, 0, P - 1)
+    j = k - off_o[i].astype(jnp.int32)
+    dup_valid = k < num_keys
+    gid = order[i]
+    rw = jnp.maximum(rects.w[gid], 1)
+    ty = rects.y0[gid] + j // rw
+    tx = rects.x0[gid] + j % rw
+    tile = ty * ntx + tx  # [CAP]
+    tile = jnp.where(dup_valid, tile, ntiles)  # sentinel sorts last
+
+    # 3. stable sort by tile (input already depth-ordered)
+    perm = jnp.argsort(tile, stable=True)  # [CAP] -> dup index
+    tile_sorted = tile[perm]
+    gauss_sorted = jnp.where(dup_valid[perm], gid[perm], P)
+
+    # 4. per-tile ranges + chunk alignment
+    tile_ids = jnp.arange(ntiles, dtype=tile_sorted.dtype)
+    seg_start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
+    seg_end = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(jnp.int32)
+    seg_len = seg_end - seg_start
+    chunks = -(-seg_len // CHUNK_SIZE)  # ceil
+    pad_len = chunks * CHUNK_SIZE
+    pad_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_len).astype(jnp.int32)]
+    )  # [NTILES+1]
+
+    cap_pad = capacity + ntiles * (CHUNK_SIZE - 1)
+    cap_pad = -(-cap_pad // CHUNK_SIZE) * CHUNK_SIZE
+    # 5. scatter-free relayout into the chunk-aligned slots: final slot f in
+    #    tile t (t = searchsorted(pad_start, f)) holds sorted entry
+    #    seg_start[t] + (f - pad_start[t]) if that is within the segment.
+    f = jnp.arange(cap_pad, dtype=jnp.int32)
+    t_of_f = jnp.searchsorted(pad_start, f, side="right").astype(jnp.int32) - 1
+    t_of_f = jnp.clip(t_of_f, 0, ntiles - 1)
+    local = f - pad_start[t_of_f]
+    src = seg_start[t_of_f] + local
+    in_seg = (local < seg_len[t_of_f]) & (local >= 0)
+    src = jnp.clip(src, 0, capacity - 1)
+    slot_to_gaussian = jnp.where(in_seg, gauss_sorted[src], P)
+    slot_valid = in_seg & (slot_to_gaussian < P)
+
+    # 6. where did each depth-order dup entry end up? (for gradient unsort)
+    #    dup d -> sorted position s (inverse of perm) -> final slot.
+    inv_perm = jnp.zeros((capacity,), jnp.int32).at[perm].set(
+        jnp.arange(capacity, dtype=jnp.int32), unique_indices=True
+    )
+    s = inv_perm
+    t_of_s = jnp.clip(tile, 0, ntiles - 1)  # tile of dup entry d (pre-sort order)
+    slot_from_dup = pad_start[t_of_s] + (s - seg_start[t_of_s])
+
+    return Binning(
+        slot_to_gaussian=slot_to_gaussian,
+        slot_valid=slot_valid,
+        tile_start=pad_start[:-1],
+        tile_chunks=chunks,
+        dup_offsets=off_o.astype(jnp.int32),
+        depth_order=order.astype(jnp.int32),
+        slot_from_dup=slot_from_dup,
+        num_keys=num_keys.astype(jnp.int32),
+        overflow=overflow,
+    )
+
+
+def padded_capacity(capacity: int, ntiles: int) -> int:
+    cap_pad = capacity + ntiles * (CHUNK_SIZE - 1)
+    return -(-cap_pad // CHUNK_SIZE) * CHUNK_SIZE
+
+
+def reduce_per_gaussian(
+    dslot: jnp.ndarray, binning: Binning, num_gaussians: int
+) -> jnp.ndarray:
+    """Deterministically reduce per-slot gradients to per-Gaussian gradients.
+
+    Replaces the reference's atomicAdd gradient accumulation
+    (backward.cu:824-952) with: gather slots back into depth-order dup
+    layout (contiguous per Gaussian) -> exclusive cumsum -> segment
+    differences. Bit-deterministic.
+
+    Args:
+      dslot: [CAP_PAD, D] per-slot gradient rows.
+    Returns:
+      [P, D] per-Gaussian sums (original Gaussian indexing).
+    """
+    dup = dslot[binning.slot_from_dup]  # [CAP, D] depth-order layout
+    k = jnp.arange(dup.shape[0], dtype=jnp.int32)
+    dup = jnp.where((k < binning.num_keys)[:, None], dup, 0.0)
+    csum = jnp.concatenate([jnp.zeros_like(dup[:1]), jnp.cumsum(dup, axis=0)])
+    off = jnp.clip(binning.dup_offsets, 0, dup.shape[0])
+    per_rank = csum[off[1:]] - csum[off[:-1]]  # [P, D] in depth-rank order
+    out = jnp.zeros((num_gaussians, dup.shape[1]), dup.dtype)
+    return out.at[binning.depth_order].set(per_rank, unique_indices=True)

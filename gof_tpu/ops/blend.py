@@ -46,7 +46,13 @@ def pixel_rays(width: int, height: int, focal_x, focal_y):
 
 
 def ndc_depth(t):
-    """2DGS NDC depth mapping (forward.cu:543-545)."""
+    """2DGS NDC depth mapping (forward.cu:543-545).
+
+    Clamped below at NEAR_PLANE: the reference only evaluates this for
+    contributing Gaussians (t > NEAR_PLANE); padded/masked entries here have
+    w == 0, and clamping keeps 0 * m finite.
+    """
+    t = jnp.maximum(t, NEAR_PLANE)
     return (FAR_PLANE * t - FAR_PLANE * NEAR_PLANE) / ((FAR_PLANE - NEAR_PLANE) * t)
 
 

@@ -1,0 +1,179 @@
+"""Tests for the scatter-free tile binning and the tiled XLA renderer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gof_tpu import cameras
+from gof_tpu.ops import binning, oracle, quadrics, tiled_ref
+from gof_tpu.ops.binning import CHUNK_SIZE
+from gof_tpu.sh import rgb_to_sh_dc
+
+
+def make_scene(rng, n=40, width=96, height=64, scale=0.15, z_span=(3.0, 8.0)):
+    """Random Gaussians inside the frustum of a simple camera."""
+    z = rng.uniform(*z_span, size=n)
+    x = rng.uniform(-1.0, 1.0, size=n) * z * 0.2
+    y = rng.uniform(-1.0, 1.0, size=n) * z * 0.2
+    means = jnp.asarray(np.stack([x, y, z], -1), jnp.float32)
+    scales = jnp.asarray(rng.uniform(0.5, 1.5, size=(n, 3)) * scale, jnp.float32)
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    rots = jnp.asarray(q, jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.3, 0.95, size=n), jnp.float32)
+    colors = jnp.asarray(rng.uniform(0.05, 0.95, size=(n, 3)), jnp.float32)
+    shs = rgb_to_sh_dc(colors)[:, None, :]
+    cam = cameras.look_at_camera(eye=(0, 0, 0), target=(0, 0, 5.0), width=width, height=height)
+    return means, scales, rots, opac, shs, cam
+
+
+def brute_force_bins(pre, ntx, nty):
+    """Reference per-tile (gaussian, depth) lists in numpy."""
+    rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+    x0, y0, w, h = (np.asarray(v) for v in rects)
+    depth = np.asarray(pre.depth)
+    per_tile = {t: [] for t in range(ntx * nty)}
+    for g in range(len(depth)):
+        for dy in range(h[g]):
+            for dx in range(w[g]):
+                per_tile[(y0[g] + dy) * ntx + (x0[g] + dx)].append(g)
+    for t in per_tile:
+        per_tile[t].sort(key=lambda g: (depth[g], 0))
+    return rects, per_tile
+
+
+class TestBinning:
+    def test_matches_brute_force(self, rng):
+        means, scales, rots, opac, shs, cam = make_scene(rng, n=60)
+        pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
+        ntx, nty = binning.tile_grid(cam.width, cam.height)
+        rects, per_tile = brute_force_bins(pre, ntx, nty)
+        b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=4096)
+        assert not bool(b.overflow)
+
+        s2g = np.asarray(b.slot_to_gaussian)
+        start = np.asarray(b.tile_start)
+        chunks = np.asarray(b.tile_chunks)
+        for t in range(ntx * nty):
+            seg = s2g[start[t] : start[t] + chunks[t] * CHUNK_SIZE]
+            got = [g for g in seg if g < len(np.asarray(pre.depth))]
+            assert got == per_tile[t], f"tile {t}"
+
+    def test_chunk_alignment_and_padding(self, rng):
+        means, scales, rots, opac, shs, cam = make_scene(rng, n=30)
+        pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
+        ntx, nty = binning.tile_grid(cam.width, cam.height)
+        rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+        b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=4096)
+        start = np.asarray(b.tile_start)
+        chunks = np.asarray(b.tile_chunks)
+        assert np.all(start % CHUNK_SIZE == 0)
+        # segments are disjoint and increasing
+        ends = start + chunks * CHUNK_SIZE
+        assert np.all(start[1:] >= ends[:-1])
+        # padded slots are invalid
+        valid = np.asarray(b.slot_valid)
+        P = means.shape[0]
+        s2g = np.asarray(b.slot_to_gaussian)
+        assert np.all((s2g < P) == valid)
+
+    def test_slot_from_dup_roundtrip(self, rng):
+        means, scales, rots, opac, shs, cam = make_scene(rng, n=50)
+        pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
+        ntx, nty = binning.tile_grid(cam.width, cam.height)
+        rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+        b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=4096)
+        nk = int(b.num_keys)
+        s2g = np.asarray(b.slot_to_gaussian)
+        sfd = np.asarray(b.slot_from_dup)[:nk]
+        order = np.asarray(b.depth_order)
+        off = np.asarray(b.dup_offsets)
+        # dup entry d belongs to depth-rank i; its final slot must hold that gaussian
+        for d in range(nk):
+            i = np.searchsorted(off, d, side="right") - 1
+            assert s2g[sfd[d]] == order[i]
+
+    def test_reduce_per_gaussian(self, rng):
+        means, scales, rots, opac, shs, cam = make_scene(rng, n=50)
+        pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
+        ntx, nty = binning.tile_grid(cam.width, cam.height)
+        rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+        b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=4096)
+        cap_pad = b.slot_to_gaussian.shape[0]
+        dslot = jnp.asarray(rng.normal(size=(cap_pad, 3)), jnp.float32)
+        got = np.asarray(binning.reduce_per_gaussian(dslot, b, means.shape[0]))
+        # numpy reference: sum dslot rows by gaussian id over valid slots
+        want = np.zeros_like(got)
+        s2g = np.asarray(b.slot_to_gaussian)
+        valid = np.asarray(b.slot_valid)
+        d = np.asarray(dslot)
+        for s in range(cap_pad):
+            if valid[s]:
+                want[s2g[s]] += d[s]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_overflow_flag(self, rng):
+        means, scales, rots, opac, shs, cam = make_scene(rng, n=60)
+        pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
+        ntx, nty = binning.tile_grid(cam.width, cam.height)
+        rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+        b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=16)
+        assert bool(b.overflow)
+
+    def test_jit_clean(self, rng):
+        """bin_gaussians must be jittable with static grid/capacity."""
+        means, scales, rots, opac, shs, cam = make_scene(rng, n=20)
+        pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
+        ntx, nty = binning.tile_grid(cam.width, cam.height)
+        rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+        f = jax.jit(binning.bin_gaussians, static_argnums=(2, 3, 4))
+        b = f(pre.depth, rects, ntx, nty, 1024)
+        assert b.slot_to_gaussian.shape[0] % CHUNK_SIZE == 0
+
+
+def full_cover_scene(rng, n=12, width=96, height=64):
+    """Scene whose Gaussians' 3-sigma rects cover the whole image, so the
+    tiled renderer is exactly the oracle (no culling discrepancy)."""
+    return make_scene(rng, n=n, width=width, height=height, scale=0.9, z_span=(4.0, 7.0))
+
+
+def run_tiled(means, scales, rots, opac, shs, cam, kernel_size, bg):
+    pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, kernel_size)
+    ntx, nty = binning.tile_grid(cam.width, cam.height)
+    rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+    b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=8192)
+    op_eff = opac * jnp.where(pre.valid, jax.lax.stop_gradient(pre.coef), 0.0)
+    payload = tiled_ref.build_payload(pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, b)
+    max_len = int(np.asarray(b.tile_chunks).max()) * CHUNK_SIZE
+    out = tiled_ref.render_tiles_xla(
+        payload, b, ntx, nty, cam.width, cam.height, cam.focal_x, cam.focal_y, bg, max_len
+    )
+    return tiled_ref.assemble_image(out, ntx, nty, cam.width, cam.height), b
+
+
+class TestTiledRenderer:
+    def test_matches_oracle_exactly(self, rng):
+        means, scales, rots, opac, shs, cam = full_cover_scene(rng)
+        bg = jnp.array([0.2, 0.3, 0.4])
+        img_tiled, b = run_tiled(means, scales, rots, opac, shs, cam, 0.1, bg)
+        ref = oracle.render_oracle(means, scales, rots, opac, shs, 0, cam, 0.1, bg)
+        np.testing.assert_allclose(
+            np.asarray(img_tiled[:9]), np.asarray(ref.image), rtol=2e-4, atol=2e-5
+        )
+        # T_final channel matches too
+        np.testing.assert_allclose(
+            np.asarray(img_tiled[tiled_ref.CH_TFINAL]),
+            np.asarray(ref.transmittance),
+            rtol=2e-4, atol=2e-6,
+        )
+
+    def test_culled_close_to_oracle(self, rng):
+        """With small Gaussians, tile culling only drops sub-1% alpha tails
+        (same approximation the reference makes at its 3-sigma rect)."""
+        means, scales, rots, opac, shs, cam = make_scene(rng, n=60, scale=0.1)
+        bg = jnp.zeros(3)
+        img_tiled, _ = run_tiled(means, scales, rots, opac, shs, cam, 0.1, bg)
+        ref = oracle.render_oracle(means, scales, rots, opac, shs, 0, cam, 0.1, bg)
+        diff = np.abs(np.asarray(img_tiled[:3]) - np.asarray(ref.image[:3]))
+        assert diff.max() < 0.05
+        assert diff.mean() < 2e-3
