@@ -103,7 +103,17 @@ def ray_terms(
 
 
 class BlendCarry(NamedTuple):
-    """Per-pixel running state across Gaussian chunks, each [PIX]."""
+    """Per-pixel running state across Gaussian chunks, each [PIX].
+
+    Note: unlike the reference's streaming distortion accumulation
+    (forward.cu:551-557), the pairwise depth distortion has the closed form
+
+        D = sum_{j<i} w_i w_j (m_i - m_j)^2 = (sum w)(sum w m^2) - (sum w m)^2
+
+    so only the three totals are carried; no order-dependent running error
+    term is needed. Algebraically identical, and it removes every cumulative
+    sum from the hot loop.
+    """
 
     transmittance: jnp.ndarray  # prod(1 - alpha) so far
     acc_alpha: jnp.ndarray  # sum of weights
@@ -112,7 +122,6 @@ class BlendCarry(NamedTuple):
     depth: jnp.ndarray  # median depth (last t while T > 0.5)
     dist1: jnp.ndarray  # sum w * m
     dist2: jnp.ndarray  # sum w * m^2
-    distortion: jnp.ndarray  # unnormalized accumulated distortion
 
 
 def init_carry(npix: int, dtype=jnp.float32) -> BlendCarry:
@@ -125,7 +134,6 @@ def init_carry(npix: int, dtype=jnp.float32) -> BlendCarry:
         depth=z,
         dist1=z,
         dist2=z,
-        distortion=z,
     )
 
 
@@ -150,13 +158,6 @@ def blend_chunk(carry: BlendCarry, terms: RayTerms, colors: jnp.ndarray) -> Blen
     m = ndc_depth(terms.t)
     wm = w * m
     wmm = wm * m
-    acc_excl = carry.acc_alpha[None, :] + jnp.cumsum(w, axis=0) - w
-    d1_excl = carry.dist1[None, :] + jnp.cumsum(wm, axis=0) - wm
-    d2_excl = carry.dist2[None, :] + jnp.cumsum(wmm, axis=0) - wmm
-    # error_i = m^2 A_i + dist2_i - 2 m dist1_i (forward.cu:551-557)
-    distortion = carry.distortion + jnp.sum(
-        w * (m * m * acc_excl + d2_excl - 2.0 * m * d1_excl), axis=0
-    )
 
     rgb = carry.rgb + colors.T @ w  # [3, G] @ [G, PIX] — MXU
     nrm = carry.normal + jnp.stack(
@@ -185,15 +186,20 @@ def blend_chunk(carry: BlendCarry, terms: RayTerms, colors: jnp.ndarray) -> Blen
         depth=depth,
         dist1=carry.dist1 + jnp.sum(wm, axis=0),
         dist2=carry.dist2 + jnp.sum(wmm, axis=0),
-        distortion=distortion,
     )
 
 
 def finalize(carry: BlendCarry, bg: jnp.ndarray) -> jnp.ndarray:
-    """Assemble the 9-channel output [9, PIX] (forward.cu:584-611)."""
+    """Assemble the 9-channel output [9, PIX] (forward.cu:584-611).
+
+    distortion_raw = (sum w)(sum w m^2) - (sum w m)^2 (closed form of the
+    reference's streaming pairwise accumulation), then normalized by
+    (1 - T)^2 + 1e-7 as in forward.cu:589.
+    """
     T = carry.transmittance
     rgb = carry.rgb + T[None, :] * bg[:, None]
-    distortion = carry.distortion / ((1.0 - T) ** 2 + 1e-7)
+    distortion_raw = carry.acc_alpha * carry.dist2 - carry.dist1 * carry.dist1
+    distortion = distortion_raw / ((1.0 - T) ** 2 + 1e-7)
     return jnp.concatenate(
         [
             rgb,

@@ -1,0 +1,701 @@
+"""Pallas TPU rasterizer: fused ray-Gaussian blend, forward + hand-written VJP.
+
+TPU-native replacement for renderCUDA forward/backward
+(forward.cu:409-658, backward.cu:633-955). Architecture:
+
+- grid = one program per 32x32-pixel tile; pixels live in the 1024 lanes of
+  [G=128, 1024] blocks, so every VPU op is fully utilized;
+- the per-chunk linear algebra (ray-space direction d = M r, normal
+  n = Sigma r, and u0.d = b.r) is ONE MXU matmul [896, 3] @ [3, 1024];
+- blending is an associative scan: alphas for the whole chunk are computed in
+  parallel, transmittance via a log-depth prefix product, accumulation via
+  lane reductions. No per-Gaussian serial dependency beyond one multiply;
+- per-tile Gaussian lists are streamed from HBM with double-buffered DMA and
+  chunk-level early exit once every pixel is saturated (the analog of the
+  CUDA per-block done vote, forward.cu:475-477);
+- the backward pass walks the same lists front-to-back, reconstructing
+  suffix sums by subtraction from the forward totals (replacing the CUDA
+  back-to-front re-walk, backward.cu:692-764), and writes per-visit gradient
+  rows to unique slots — no atomics; the deterministic per-Gaussian
+  reduction happens outside (binning.reduce_per_gaussian).
+
+Cotangent semantics replicate the reference's (documented) choices:
+- the depth-distortion gradient flows only through the mapped depth m, not
+  through the blend weights or the (1-T)^2 normalization (backward.cu:839-858
+  sets dL_dweight = 0 and omits the normalization factor);
+- the median-depth gradient is routed to exactly the max-contributor visit
+  (backward.cu:879-882);
+- the alpha->opacity gradient ignores the 0.99 clamp (backward.cu:912);
+- camera scalars (focal, bg) and the aux output channels get zero cotangent.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    FAR_PLANE,
+    MEDIAN_THRESHOLD,
+    NEAR_PLANE,
+    TILE_W,
+    TRANSMITTANCE_EPS,
+)
+from .binning import CHUNK_SIZE, Binning, reduce_per_gaussian
+
+# ---------------------------------------------------------------------------
+# Payload layout: one row of 32 f32 per (tile, Gaussian) visit slot.
+# ---------------------------------------------------------------------------
+P_COLS = 32
+C_RGB = 0  # 0:3
+C_OP = 3
+C_M = 4  # 4:13 row-major
+C_U0 = 13  # 13:16
+C_SIG = 16  # 16:22 (xx, xy, xz, yy, yz, zz)
+C_B = 22  # 22:25
+C_CONIC = 26  # 26:29
+C_MEAN2D = 29  # 29:31
+# In the gradient slot rows, cols 26:29 are reused for the densification
+# stats (gx, gy, |gx|+|gy|) since conic/mean2d are non-differentiable.
+G_STATS = 26
+
+NPIX = 1024
+OUT_CH = 16
+CH_TFINAL = 9
+CH_DFINAL = 10
+CH_MEDIDX = 11
+
+
+def pack_sigma6(M: jnp.ndarray) -> jnp.ndarray:
+    """Sigma = M^T M as (..., 6) upper triangle (the reference's v2g[0:6])."""
+    S = jnp.einsum("...ji,...jk->...ik", M, M)
+    return jnp.stack(
+        [S[..., 0, 0], S[..., 0, 1], S[..., 0, 2], S[..., 1, 1], S[..., 1, 2], S[..., 2, 2]],
+        axis=-1,
+    )
+
+
+def build_payload32(rgb, op_eff, M, u0, sigma6, bvec, conic, mean2d, binning: Binning) -> jnp.ndarray:
+    """Gather per-Gaussian rows into the chunk-aligned visit-slot layout.
+
+    Invalid slots gather the appended zero row (opacity 0 -> no contribution).
+    Returned TRANSPOSED, [32, CAP_PAD]: HBM DMA slices must be 128-aligned in
+    the lane (last) dimension, and chunk starts are CHUNK_SIZE-aligned.
+    """
+    P = rgb.shape[0]
+    flat = jnp.concatenate(
+        [
+            rgb,  # 0:3
+            op_eff[:, None],  # 3
+            M.reshape(P, 9),  # 4:13
+            u0,  # 13:16
+            sigma6,  # 16:22
+            bvec,  # 22:25
+            jnp.zeros((P, 1), rgb.dtype),  # 25
+            conic,  # 26:29
+            mean2d,  # 29:31
+            jnp.zeros((P, 1), rgb.dtype),  # 31
+        ],
+        axis=1,
+    )
+    flat = jnp.concatenate([flat, jnp.zeros((1, P_COLS), flat.dtype)], axis=0)
+    return flat[binning.slot_to_gaussian].T
+
+
+# ---------------------------------------------------------------------------
+# In-kernel helpers (pure jnp on Pallas values)
+# ---------------------------------------------------------------------------
+
+
+def _shift_down(x, s, fill):
+    """x shifted down by s rows along axis 0, filled with `fill` on top."""
+    top = jnp.full((s,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([top, x[: x.shape[0] - s]], axis=0)
+
+
+def _cumprod_incl(x):
+    """Inclusive prefix product along axis 0 (log-depth doubling)."""
+    n = x.shape[0]
+    s = 1
+    while s < n:
+        x = x * _shift_down(x, s, 1.0)
+        s *= 2
+    return x
+
+
+def _cumsum_incl(x):
+    n = x.shape[0]
+    s = 1
+    while s < n:
+        x = x + _shift_down(x, s, 0.0)
+        s *= 2
+    return x
+
+
+def _dot_nt(a, b):
+    """a [M, K] @ b [N, K]^T -> [M, N], contracting the lane axis (MXU)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _eye(n):
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r == c).astype(jnp.float32)
+
+
+def _transpose_mxu(x):
+    """[M, K] -> [K, M] via an exact identity matmul (Mosaic-safe transpose)."""
+    return _dot_nt(_eye(x.shape[1]), x)
+
+
+class _ChunkFwd(NamedTuple):
+    """Recomputed per-pair quantities shared by forward and backward."""
+
+    a: jnp.ndarray  # masked alpha [G, PIX]
+    active: jnp.ndarray  # bool mask
+    t: jnp.ndarray
+    E: jnp.ndarray  # exp(-0.5 mv)
+    d0: jnp.ndarray
+    d1: jnp.ndarray
+    d2: jnp.ndarray
+    v0: jnp.ndarray
+    v1: jnp.ndarray
+    v2: jnp.ndarray
+    ud: jnp.ndarray
+    dd: jnp.ndarray
+    n0: jnp.ndarray
+    n1: jnp.ndarray
+    n2: jnp.ndarray
+    inv_len: jnp.ndarray
+    prod_incl: jnp.ndarray  # inclusive prefix product of (1 - a)
+
+
+def _chunk_terms(p, rx, ry, R3):
+    """Per-pair blend quantities for one [CHUNK, 32] payload block.
+
+    The linear algebra rides one MXU matmul: A [7*G, 3] @ R3^T where A stacks
+    M rows (d), Sigma rows (n) and b (u0.d).
+    """
+    def mm(rows):  # [G, 3] @ [3, PIX] -> [G, PIX] on the MXU
+        return jnp.dot(rows, R3, preferred_element_type=jnp.float32)
+
+    d0 = mm(p[:, 4:7])
+    d1 = mm(p[:, 7:10])
+    d2 = mm(p[:, 10:13])
+    n0 = mm(p[:, 16:19])  # Sigma row 0 (xx, xy, xz)
+    # Sigma rows 1/2 are non-contiguous in the 6-vector: n1/n2 via VPU madds.
+    n1 = p[:, 17:18] * rx + p[:, 19:20] * ry + p[:, 20:21]
+    n2 = p[:, 18:19] * rx + p[:, 20:21] * ry + p[:, 21:22]
+    ud = mm(p[:, 22:25])
+
+    dd = rx * n0 + ry * n1 + n2 + 1e-12  # = r^T Sigma r = |d|^2
+    t = -ud / dd
+    u0x, u0y, u0z = p[:, 13:14], p[:, 14:15], p[:, 15:16]
+    v0 = u0x + t * d0
+    v1 = u0y + t * d1
+    v2 = u0z + t * d2
+    mv = v0 * v0 + v1 * v1 + v2 * v2
+    E = jnp.exp(-0.5 * mv)
+    op = p[:, 3:4]
+    a_raw = jnp.minimum(ALPHA_MAX, op * E)
+    active = (t > NEAR_PLANE) & (a_raw >= ALPHA_MIN)
+    a = jnp.where(active, a_raw, 0.0)
+    inv_len = jax.lax.rsqrt(n0 * n0 + n1 * n1 + n2 * n2 + 1e-7)
+    prod_incl = _cumprod_incl(1.0 - a)
+    return _ChunkFwd(
+        a=a, active=active, t=t, E=E,
+        d0=d0, d1=d1, d2=d2, v0=v0, v1=v1, v2=v2,
+        ud=ud, dd=dd, n0=n0, n1=n1, n2=n2,
+        inv_len=inv_len, prod_incl=prod_incl,
+    )
+
+
+def _ndc_m(t):
+    tc = jnp.maximum(t, NEAR_PLANE)
+    return (FAR_PLANE * tc - FAR_PLANE * NEAR_PLANE) / ((FAR_PLANE - NEAR_PLANE) * tc)
+
+
+def _rays_for_tile(tile_id, ntx, meta):
+    """rx, ry, row-iota and lane pixel coordinates for one tile."""
+    fx, fy = meta[0, 0], meta[0, 1]
+    half_w, half_h = meta[0, 5], meta[0, 6]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
+    lx = (lane % TILE_W).astype(jnp.float32)
+    ly = (lane // TILE_W).astype(jnp.float32)
+    tx = (tile_id % ntx) * TILE_W
+    ty = (tile_id // ntx) * TILE_W
+    px = tx.astype(jnp.float32) + lx + 0.5
+    py = ty.astype(jnp.float32) + ly + 0.5
+    rx = (px - half_w) / fx
+    ry = (py - half_h) / fy
+    R3 = jnp.concatenate([rx, ry, jnp.ones_like(rx)], axis=0)  # [3, PIX]
+    return rx, ry, R3, px, py
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(ntx: int, starts_ref, nchunks_ref, meta_ref, payload_hbm, out_ref, pbuf, sem):
+    t_id = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[t_id], CHUNK_SIZE)
+    nc = nchunks_ref[t_id]
+    rx, ry, R3, _, _ = _rays_for_tile(t_id, ntx, meta_ref)
+    bg0, bg1, bg2 = meta_ref[0, 2], meta_ref[0, 3], meta_ref[0, 4]
+
+    def copy_in(c, slot):
+        return pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(start + c * CHUNK_SIZE, CHUNK_SIZE)],
+            pbuf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(nc > 0)
+    def _():
+        copy_in(0, 0).start()
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_SIZE, 1), 0)
+    zeros = jnp.zeros((1, NPIX), jnp.float32)
+    init = (
+        jnp.int32(0),  # next chunk
+        jnp.ones((1, NPIX), jnp.float32),  # T
+        zeros, zeros, zeros,  # rgb
+        zeros, zeros, zeros,  # normal
+        zeros,  # acc alpha
+        zeros, zeros,  # d1, d2
+        zeros,  # depth
+        jnp.full((1, NPIX), -1.0),  # median visit idx
+    )
+
+    def cond(carry):
+        c, T = carry[0], carry[1]
+        return (c < nc) & (jnp.max(T) >= TRANSMITTANCE_EPS)
+
+    def body(carry):
+        c, T, r0, r1, r2, m0, m1, m2, acc, s1, s2, depth, med = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nc)
+        def _():
+            copy_in(c + 1, jax.lax.rem(c + 1, 2)).start()
+
+        copy_in(c, slot).wait()
+        p = _transpose_mxu(pbuf[slot])  # [32, CHUNK] -> [CHUNK, 32]
+
+        f = _chunk_terms(p, rx, ry, R3)
+        T_excl = T * _shift_down(f.prod_incl, 1, 1.0)
+        w = f.a * T_excl * (T_excl > TRANSMITTANCE_EPS)
+
+        m = _ndc_m(f.t)
+        wm = w * m
+        # accumulate
+        r0 += jnp.sum(p[:, 0:1] * w, axis=0, keepdims=True)
+        r1 += jnp.sum(p[:, 1:2] * w, axis=0, keepdims=True)
+        r2 += jnp.sum(p[:, 2:3] * w, axis=0, keepdims=True)
+        sneg = f.inv_len * w
+        m0 -= jnp.sum(f.n0 * sneg, axis=0, keepdims=True)
+        m1 -= jnp.sum(f.n1 * sneg, axis=0, keepdims=True)
+        m2 -= jnp.sum(f.n2 * sneg, axis=0, keepdims=True)
+        acc += jnp.sum(w, axis=0, keepdims=True)
+        s1 += jnp.sum(wm, axis=0, keepdims=True)
+        s2 += jnp.sum(wm * m, axis=0, keepdims=True)
+
+        med_mask = (f.a > 0) & (T_excl > MEDIAN_THRESHOLD)
+        idxloc = jnp.max(jnp.where(med_mask, row_i, -1), axis=0, keepdims=True)
+        has = idxloc >= 0
+        onehot = (row_i == idxloc) & med_mask
+        tmed = jnp.sum(jnp.where(onehot, f.t, 0.0), axis=0, keepdims=True)
+        depth = jnp.where(has, tmed, depth)
+        med = jnp.where(has, (c * CHUNK_SIZE + idxloc).astype(jnp.float32), med)
+
+        T = T * f.prod_incl[CHUNK_SIZE - 1 : CHUNK_SIZE]
+        return (c + 1, T, r0, r1, r2, m0, m1, m2, acc, s1, s2, depth, med)
+
+    out = jax.lax.while_loop(cond, body, init)
+    c, T, r0, r1, r2, m0, m1, m2, acc, s1, s2, depth, med = out
+
+    # drain the in-flight prefetch if the loop exited early
+    @pl.when(c < nc)
+    def _():
+        copy_in(c, jax.lax.rem(c, 2)).wait()
+
+    dist = (acc * s2 - s1 * s1) / ((1.0 - T) ** 2 + 1e-7)
+    out_ref[0, 0, :] = (r0 + T * bg0)[0]
+    out_ref[0, 1, :] = (r1 + T * bg1)[0]
+    out_ref[0, 2, :] = (r2 + T * bg2)[0]
+    out_ref[0, 3, :] = m0[0]
+    out_ref[0, 4, :] = m1[0]
+    out_ref[0, 5, :] = m2[0]
+    out_ref[0, 6, :] = depth[0]
+    out_ref[0, 7, :] = acc[0]
+    out_ref[0, 8, :] = dist[0]
+    out_ref[0, CH_TFINAL, :] = T[0]
+    out_ref[0, CH_DFINAL, :] = s1[0]
+    out_ref[0, CH_MEDIDX, :] = med[0]
+    zero_row = jnp.zeros((NPIX,), jnp.float32)
+    out_ref[0, 12, :] = zero_row
+    out_ref[0, 13, :] = zero_row
+    out_ref[0, 14, :] = zero_row
+    out_ref[0, 15, :] = zero_row
+
+
+def rasterize_fwd_pallas(payload, binning: Binning, meta_vec, ntx: int, ntiles: int, interpret=False):
+    """Run the forward blend kernel. Returns [NTILES, 16, 1024]."""
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda t, s, n: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, OUT_CH, NPIX), lambda t, s, n: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, ntx),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((ntiles, OUT_CH, NPIX), jnp.float32),
+        interpret=interpret,
+    )(binning.tile_start, binning.tile_chunks, meta_vec, payload)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    ntx: int, halfw: float, halfh: float,
+    starts_ref, nchunks_ref, meta_ref, payload_hbm, fout_ref, gout_ref,
+    dslot_hbm, dbuf, pbuf, sem, wsem,
+):
+    t_id = pl.program_id(0)
+    start = pl.multiple_of(starts_ref[t_id], CHUNK_SIZE)
+    nc = nchunks_ref[t_id]
+    rx, ry, R3, px, py = _rays_for_tile(t_id, ntx, meta_ref)
+    bg0, bg1, bg2 = meta_ref[0, 2], meta_ref[0, 3], meta_ref[0, 4]
+
+    # per-pixel cotangents and forward totals
+    g_rgb0, g_rgb1, g_rgb2 = gout_ref[0, 0:1, :], gout_ref[0, 1:2, :], gout_ref[0, 2:3, :]
+    g_n0, g_n1, g_n2 = gout_ref[0, 3:4, :], gout_ref[0, 4:5, :], gout_ref[0, 5:6, :]
+    g_depth = gout_ref[0, 6:7, :]
+    g_alpha = gout_ref[0, 7:8, :]
+    g_dist = gout_ref[0, 8:9, :]
+    T_fin = fout_ref[0, CH_TFINAL : CH_TFINAL + 1, :]
+    d1_tot = fout_ref[0, CH_DFINAL : CH_DFINAL + 1, :]
+    med_idx = fout_ref[0, CH_MEDIDX : CH_MEDIDX + 1, :]
+    acc_tot = fout_ref[0, 7:8, :]
+
+    rgbnb0 = fout_ref[0, 0:1, :] - T_fin * bg0
+    rgbnb1 = fout_ref[0, 1:2, :] - T_fin * bg1
+    rgbnb2 = fout_ref[0, 2:3, :] - T_fin * bg2
+    TOT_F = (
+        g_rgb0 * rgbnb0 + g_rgb1 * rgbnb1 + g_rgb2 * rgbnb2
+        + g_n0 * fout_ref[0, 3:4, :] + g_n1 * fout_ref[0, 4:5, :] + g_n2 * fout_ref[0, 5:6, :]
+        + g_alpha * acc_tot
+    )
+    bgdot = bg0 * g_rgb0 + bg1 * g_rgb1 + bg2 * g_rgb2
+    G_RGB = jnp.concatenate([g_rgb0, g_rgb1, g_rgb2], axis=0)  # [3, PIX]
+
+    def copy_in(c, slot):
+        return pltpu.make_async_copy(
+            payload_hbm.at[:, pl.ds(start + c * CHUNK_SIZE, CHUNK_SIZE)],
+            pbuf.at[slot],
+            sem.at[slot],
+        )
+
+    def copy_out(c, slot):
+        return pltpu.make_async_copy(
+            dbuf.at[slot],
+            dslot_hbm.at[:, pl.ds(start + c * CHUNK_SIZE, CHUNK_SIZE)],
+            wsem.at[slot],
+        )
+
+    @pl.when(nc > 0)
+    def _():
+        copy_in(0, 0).start()
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_SIZE, 1), 0)
+    ones_row = jnp.ones((1, NPIX), jnp.float32)
+
+    def body(c, carry):
+        T, PwF = carry
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nc)
+        def _():
+            copy_in(c + 1, jax.lax.rem(c + 1, 2)).start()
+
+        copy_in(c, slot).wait()
+        p = _transpose_mxu(pbuf[slot])  # [32, CHUNK] -> [CHUNK, 32]
+
+        f = _chunk_terms(p, rx, ry, R3)
+        T_excl = T * _shift_down(f.prod_incl, 1, 1.0)
+        cutoff = T_excl > TRANSMITTANCE_EPS
+        w = f.a * T_excl * cutoff
+
+        # F_i = per-pair loss sensitivity to one unit of weight
+        nh0 = -f.n0 * f.inv_len
+        nh1 = -f.n1 * f.inv_len
+        nh2 = -f.n2 * f.inv_len
+        F = (
+            p[:, 0:1] * g_rgb0 + p[:, 1:2] * g_rgb1 + p[:, 2:3] * g_rgb2
+            + nh0 * g_n0 + nh1 * g_n1 + nh2 * g_n2 + g_alpha
+        )
+        wF = w * F
+        incl = PwF + _cumsum_incl(wF)
+        SF = TOT_F - incl
+        one_m_a = 1.0 - f.a
+        dL_da = (f.a > 0) * (
+            T_excl * cutoff * F - (SF + T_fin * bgdot) / one_m_a
+        )
+
+        # distortion (through m only) + median depth -> t
+        m = _ndc_m(f.t)
+        dL_dm = 2.0 * w * (m * acc_tot - d1_tot) * g_dist
+        tc = jnp.maximum(f.t, NEAR_PLANE)
+        dm_dt = (FAR_PLANE * NEAR_PLANE) / ((FAR_PLANE - NEAR_PLANE) * tc * tc)
+        glob_row = (c * CHUNK_SIZE + row_i).astype(jnp.float32)
+        is_med = (glob_row == med_idx) & (f.a > 0)
+        dL_dt = dL_dm * dm_dt + jnp.where(is_med, g_depth, 0.0)
+
+        # normal channel -> unnormalized normal
+        dnh0 = w * g_n0
+        dnh1 = w * g_n1
+        dnh2 = w * g_n2
+        dot_nh = dnh0 * f.n0 + dnh1 * f.n1 + dnh2 * f.n2
+        il2 = f.inv_len * f.inv_len
+        dn0 = (-dnh0 + dot_nh * f.n0 * il2) * f.inv_len
+        dn1 = (-dnh1 + dot_nh * f.n1 * il2) * f.inv_len
+        dn2 = (-dnh2 + dot_nh * f.n2 * il2) * f.inv_len
+
+        # alpha -> opacity / exponent (clamp ignored, as in the reference)
+        op = p[:, 3:4]
+        dL_dE = op * dL_da
+        dop_pix = f.E * dL_da * f.active
+        dL_dmv = -0.5 * f.E * dL_dE * jnp.float32(1.0)
+        dL_dmv = jnp.where(f.active, dL_dmv, 0.0)
+
+        # mv = |v|^2, v = u0 + t d, t = -ud/dd, dd = r.n, ud = b.r
+        dv0 = 2.0 * f.v0 * dL_dmv
+        dv1 = 2.0 * f.v1 * dL_dmv
+        dv2 = 2.0 * f.v2 * dL_dmv
+        dL_dt_tot = dL_dt + dv0 * f.d0 + dv1 * f.d1 + dv2 * f.d2
+        dd0 = f.t * dv0
+        dd1 = f.t * dv1
+        dd2 = f.t * dv2
+        dL_dud = -dL_dt_tot / f.dd
+        dL_ddd = -dL_dt_tot * f.t / f.dd
+        dn0 = dn0 + dL_ddd * rx
+        dn1 = dn1 + dL_ddd * ry
+        dn2 = dn2 + dL_ddd
+
+        # densification stats (reference's pseudo-gradient, backward.cu:896-909)
+        ca, cb, cc = p[:, 26:27], p[:, 27:28], p[:, 28:29]
+        dxp = p[:, 29:30] - (px - 0.5)
+        dyp = p[:, 30:31] - (py - 0.5)
+        dL_dG2 = op * dL_da * f.active
+        gx = dL_dG2 * (-f.E) * (ca * dxp + cb * dyp) * halfw
+        gy = dL_dG2 * (-f.E) * (cb * dxp + cc * dyp) * halfh
+
+        # reduce over pixels into per-slot gradient rows; the NT-dot
+        # dot_nt(basis [k, PIX], X [G, PIX]) -> [k, G] yields the transposed
+        # [32, CHUNK] layout the output DMA needs directly (MXU).
+        Gn = CHUNK_SIZE
+        dM0_t = _dot_nt(R3, dd0)  # [3, G] = rows (d/drx, d/dry, d/d1) of dM row 0
+        dM1_t = _dot_nt(R3, dd1)
+        dM2_t = _dot_nt(R3, dd2)
+        dn0_t = _dot_nt(R3, dn0)
+        dn1_t = _dot_nt(R3, dn1)
+        dn2_t = _dot_nt(R3, dn2)
+        db_t = _dot_nt(R3, dL_dud)
+        drgb_t = _dot_nt(G_RGB, w)
+        du0_t = jnp.concatenate(
+            [_dot_nt(ones_row, dv0), _dot_nt(ones_row, dv1), _dot_nt(ones_row, dv2)],
+            axis=0,
+        )
+        dop_t = _dot_nt(ones_row, dop_pix)
+        stats_t = jnp.concatenate(
+            [
+                _dot_nt(ones_row, gx),
+                _dot_nt(ones_row, gy),
+                _dot_nt(ones_row, jnp.abs(gx) + jnp.abs(gy)),
+            ],
+            axis=0,
+        )
+        dsig_t = jnp.concatenate(
+            [
+                dn0_t[0:1],
+                dn0_t[1:2] + dn1_t[0:1],
+                dn0_t[2:3] + dn2_t[0:1],
+                dn1_t[1:2],
+                dn1_t[2:3] + dn2_t[1:2],
+                dn2_t[2:3],
+            ],
+            axis=0,
+        )
+        zero1 = jnp.zeros((1, Gn), jnp.float32)
+        drow_t = jnp.concatenate(
+            [
+                drgb_t,  # 0:3
+                dop_t,  # 3
+                dM0_t, dM1_t, dM2_t,  # 4:13
+                du0_t,  # 13:16
+                dsig_t,  # 16:22
+                db_t,  # 22:25
+                zero1,  # 25
+                stats_t,  # 26:29
+                zero1, zero1, zero1,  # 29:32
+            ],
+            axis=0,
+        )
+
+        wslot = jax.lax.rem(c, 2)
+
+        @pl.when(c >= 2)
+        def _():
+            copy_out(c - 2, wslot).wait()
+
+        dbuf[wslot] = drow_t
+        copy_out(c, wslot).start()
+
+        T = T * f.prod_incl[CHUNK_SIZE - 1 : CHUNK_SIZE]
+        PwF = incl[CHUNK_SIZE - 1 : CHUNK_SIZE]
+        return (T, PwF)
+
+    init = (jnp.ones((1, NPIX), jnp.float32), jnp.zeros((1, NPIX), jnp.float32))
+    jax.lax.fori_loop(0, nc, body, init)
+
+    # drain outstanding writes
+    @pl.when(nc >= 2)
+    def _():
+        copy_out(nc - 2, jax.lax.rem(nc - 2, 2)).wait()
+
+    @pl.when(nc >= 1)
+    def _():
+        copy_out(nc - 1, jax.lax.rem(nc - 1, 2)).wait()
+
+
+def rasterize_bwd_pallas(
+    payload, fout, gout, binning: Binning, meta_vec, ntx: int, ntiles: int,
+    halfw: float, halfh: float, interpret=False,
+):
+    """Run the backward kernel. Returns per-slot gradient rows [32, CAP_PAD]."""
+    cap_pad = payload.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda t, s, n: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, OUT_CH, NPIX), lambda t, s, n: (t, 0, 0)),
+            pl.BlockSpec((1, OUT_CH, NPIX), lambda t, s, n: (t, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),
+            pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, ntx, halfw, halfh),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P_COLS, cap_pad), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(binning.tile_start, binning.tile_chunks, meta_vec, payload, fout, gout)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+class RasterMeta(NamedTuple):
+    """Static rasterization metadata (hashable)."""
+
+    ntx: int
+    nty: int
+    width: int
+    height: int
+    interpret: bool = False
+
+
+def _meta_vec(focal_x, focal_y, bg, width, height):
+    return jnp.stack(
+        [
+            jnp.asarray(focal_x, jnp.float32),
+            jnp.asarray(focal_y, jnp.float32),
+            bg[0].astype(jnp.float32),
+            bg[1].astype(jnp.float32),
+            bg[2].astype(jnp.float32),
+            jnp.asarray(width / 2.0, jnp.float32),
+            jnp.asarray(height / 2.0, jnp.float32),
+            jnp.float32(0.0),
+        ]
+    )[None, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def rasterize(meta: RasterMeta, rgb, op_eff, M, u0, sigma6, bvec, conic, mean2d,
+              carrier, focal_x, focal_y, bg, binning: Binning):
+    """Differentiable tiled rasterization -> [NTILES, 16, 1024].
+
+    carrier: [P, 3] zeros whose cotangent carries the densification stats
+    (the reference's screenspace_points trick, gaussian_renderer/__init__.py:
+    26-30 + train.py:253-256). Aux channels 9..15 get zero cotangent.
+    """
+    out, _ = _raster_fwd(meta, rgb, op_eff, M, u0, sigma6, bvec, conic, mean2d,
+                         carrier, focal_x, focal_y, bg, binning)
+    return out
+
+
+def _raster_fwd(meta, rgb, op_eff, M, u0, sigma6, bvec, conic, mean2d, carrier,
+                focal_x, focal_y, bg, binning):
+    mv = _meta_vec(focal_x, focal_y, bg, meta.width, meta.height)
+    payload = build_payload32(rgb, op_eff, M, u0, sigma6, bvec, conic, mean2d, binning)
+    out = rasterize_fwd_pallas(payload, binning, mv, meta.ntx, meta.ntx * meta.nty,
+                               interpret=meta.interpret)
+    res = (payload, out, binning, mv, rgb.shape[0])
+    return out, res
+
+
+def _raster_bwd(meta, res, gout):
+    payload, fout, binning, mv, P = res
+    dslot_t = rasterize_bwd_pallas(
+        payload, fout, gout, binning, mv, meta.ntx, meta.ntx * meta.nty,
+        meta.width / 2.0, meta.height / 2.0, interpret=meta.interpret,
+    )
+    per_g = reduce_per_gaussian(dslot_t.T, binning, P)
+    drgb = per_g[:, 0:3]
+    dop = per_g[:, 3]
+    dM = per_g[:, 4:13].reshape(P, 3, 3)
+    du0 = per_g[:, 13:16]
+    dsig = per_g[:, 16:22]
+    db = per_g[:, 22:25]
+    dcarrier = per_g[:, G_STATS : G_STATS + 3]
+    zconic = jnp.zeros((P, 3), jnp.float32)
+    zmean2d = jnp.zeros((P, 2), jnp.float32)
+    zf = jnp.zeros((), jnp.float32)
+    zbg = jnp.zeros((3,), jnp.float32)
+    return (drgb, dop, dM, du0, dsig, db, zconic, zmean2d, dcarrier,
+            zf, zf, zbg, None)
+
+
+rasterize.defvjp(_raster_fwd, _raster_bwd)

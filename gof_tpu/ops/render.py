@@ -1,0 +1,105 @@
+"""High-level render API.
+
+Replaces gaussian_renderer/__init__.py:18-115 (`render`). One function from
+model tensors + camera to the 9-channel image and densification side-outputs,
+choosing between the Pallas production path and the XLA reference path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import cameras as cameras_lib
+from ..constants import TILE_W
+from . import binning, quadrics, tiled_ref
+from . import rasterize_pallas as rp
+
+
+class RenderOut(NamedTuple):
+    """Mirror of the reference render() dict (gaussian_renderer/__init__.py:112-115).
+
+    image: [9, H, W] — rgb, normal, median depth, alpha, distortion.
+    transmittance / depth_weight_sum / median_visit: auxiliary planes used by
+      the backward pass and TSDF extraction.
+    radii / visibility: densification bookkeeping (radii > 0 <=> binned).
+    num_keys / overflow: binning capacity telemetry for host-side re-jit.
+    """
+
+    image: jnp.ndarray
+    transmittance: jnp.ndarray
+    radii: jnp.ndarray
+    visibility: jnp.ndarray
+    num_keys: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def render(
+    camera: cameras_lib.Camera,
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,  # 3D-filtered scales (gaussian_model.py:156-162)
+    rotations: jnp.ndarray,
+    opacities: jnp.ndarray,  # 3D-filtered opacities (gaussian_model.py:183-194)
+    shs: jnp.ndarray,
+    sh_degree: int,
+    kernel_size: float,
+    bg: jnp.ndarray,
+    carrier: Optional[jnp.ndarray] = None,
+    active_mask: Optional[jnp.ndarray] = None,
+    capacity: int = 1 << 20,
+    backend: str = "pallas",
+    interpret: bool = False,
+) -> RenderOut:
+    """Render one view.
+
+    Args:
+      carrier: [P, 3] zeros; its gradient carries the densification stats
+        (the reference's screenspace_points trick). Created if None.
+      capacity: static duplicated-key budget (re-jit with larger on overflow).
+      backend: 'pallas' (TPU production) or 'xla' (reference path, any device).
+    """
+    P = means3d.shape[0]
+    pre = quadrics.preprocess(
+        means3d, scales, rotations, shs, sh_degree, camera, kernel_size, active_mask
+    )
+    ntx, nty = binning.tile_grid(camera.width, camera.height)
+    rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+    b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity)
+    # The 2D-dilation compensation is detached (its cov2D backward is disabled
+    # in the reference, backward.cu:991-1007).
+    op_eff = opacities * jnp.where(pre.valid, jax.lax.stop_gradient(pre.coef), 0.0)
+    if carrier is None:
+        carrier = jnp.zeros((P, 3), jnp.float32)
+
+    if backend == "pallas":
+        sigma6 = rp.pack_sigma6(pre.v2g_M)
+        bvec = jnp.einsum("pji,pj->pi", pre.v2g_M, pre.v2g_u0)
+        meta = rp.RasterMeta(
+            ntx=ntx, nty=nty, width=camera.width, height=camera.height, interpret=interpret
+        )
+        tile_out = rp.rasterize(
+            meta, pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, sigma6, bvec,
+            pre.conic, pre.mean2d, carrier, camera.focal_x, camera.focal_y, bg, b,
+        )
+    elif backend == "xla":
+        payload = tiled_ref.build_payload(pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, b)
+        max_len = int(b.slot_to_gaussian.shape[0])  # static worst case
+        tile_out = tiled_ref.render_tiles_xla(
+            payload, b, ntx, nty, camera.width, camera.height,
+            camera.focal_x, camera.focal_y, bg, max_len,
+        )
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    full = tiled_ref.assemble_image(tile_out, ntx, nty, camera.width, camera.height)
+    radii = jnp.where(pre.valid, pre.radius, 0.0)
+    return RenderOut(
+        image=full[:9],
+        transmittance=full[rp.CH_TFINAL],
+        radii=radii,
+        visibility=radii > 0,
+        num_keys=b.num_keys,
+        overflow=b.overflow,
+    )

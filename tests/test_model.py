@@ -1,0 +1,207 @@
+"""Tests for the Gaussian model layer, knn, losses, schedules."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gof_tpu import cameras
+from gof_tpu.model import gaussians as gm
+from gof_tpu.ops import knn
+from gof_tpu.utils import losses, schedules
+
+
+class TestKNN:
+    def test_exact_matches_bruteforce(self, rng):
+        pts = rng.normal(size=(256, 3)).astype(np.float32)
+        got = knn.mean_sq_dist_3nn_exact(pts)
+        d = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        np.fill_diagonal(d, np.inf)
+        want = np.sort(d, axis=1)[:, :3].mean(1)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_morton_overestimates_only(self, rng):
+        """The in-jit Morton approximation can only miss neighbors, never
+        invent closer ones: got >= exact, and mostly equal."""
+        pts = rng.normal(size=(256, 3)).astype(np.float32)
+        got = np.asarray(knn.mean_sq_dist_3nn(jnp.asarray(pts), window=32))
+        want = knn.mean_sq_dist_3nn_exact(pts)
+        assert np.all(got >= want - 1e-5)
+        rel = np.abs(got - want) / np.maximum(want, 1e-12)
+        assert np.median(rel) < 0.01
+
+    def test_clustered_points(self, rng):
+        """Two tight clusters: distances must reflect the local cluster."""
+        a = rng.normal(size=(100, 3)).astype(np.float32) * 0.01
+        b = rng.normal(size=(100, 3)).astype(np.float32) * 0.01 + 100.0
+        pts = np.concatenate([a, b])
+        got = np.asarray(knn.mean_sq_dist_3nn(jnp.asarray(pts)))
+        assert got.max() < 1.0  # no cross-cluster distances leaked
+
+
+class TestLosses:
+    def test_ssim_identity(self, rng):
+        img = jnp.asarray(rng.random((3, 40, 52)), jnp.float32)
+        assert float(losses.ssim(img, img)) > 0.999
+
+    def test_ssim_degrades(self, rng):
+        # smooth gradient image: structural noise must lower SSIM clearly
+        y, x = np.mgrid[0:40, 0:52].astype(np.float32)
+        img = jnp.asarray(np.stack([x / 52, y / 40, (x + y) / 92]), jnp.float32)
+        noisy = jnp.clip(img + 0.3 * jnp.asarray(rng.random((3, 40, 52)), jnp.float32), 0, 1)
+        s = float(losses.ssim(img, noisy))
+        assert s < 0.7
+        assert float(losses.ssim(img, img)) > 0.999
+
+    def test_psnr(self):
+        a = jnp.zeros((3, 8, 8))
+        b = jnp.full((3, 8, 8), 0.1)
+        assert abs(float(losses.psnr(a, b)) - 20.0) < 1e-3
+
+
+class TestSchedules:
+    def test_expon_endpoints(self):
+        lr0 = float(schedules.expon_lr(0, 1e-2, 1e-4, 100))
+        lrN = float(schedules.expon_lr(100, 1e-2, 1e-4, 100))
+        assert abs(lr0 - 1e-2) < 1e-9
+        assert abs(lrN - 1e-4) < 1e-9
+
+    def test_delay(self):
+        early = float(schedules.expon_lr(1, 1e-2, 1e-4, 100, lr_delay_steps=10, lr_delay_mult=0.01))
+        assert early < 1e-2 * 0.3
+
+
+def tiny_model(rng, n=20, cap=64):
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    cols = rng.random((n, 3)).astype(np.float32)
+    return gm.init_from_points(pts, cols, sh_degree=2, capacity=cap)
+
+
+class TestGaussianModel:
+    def test_init(self, rng):
+        params, state = tiny_model(rng)
+        assert int(gm.num_active(state)) == 20
+        assert params.xyz.shape == (64, 3)
+        assert params.features_rest.shape == (64, 8, 3)
+        op = np.asarray(gm.get_opacity(params))[:20]
+        np.testing.assert_allclose(op, 0.1, atol=1e-5)
+
+    def test_filter_3d(self, rng):
+        params, state = tiny_model(rng)
+        cam = cameras.look_at_camera(eye=(0, 0, -8.0), target=(0, 0, 0), width=64, height=64)
+        f = gm.compute_3d_filter(
+            params.xyz, state.active,
+            cam.world_view[None], cam.focal_x[None], cam.focal_y[None],
+            jnp.array([64.0]), jnp.array([64.0]),
+        )
+        # filter ~ depth / focal * sqrt(0.2): depth ~ 8, focal = 32/tan
+        depth = np.asarray(params.xyz)[:, 2] + 8.0
+        focal = float(cam.focal_x)
+        want = depth / focal * (0.2**0.5)
+        np.testing.assert_allclose(np.asarray(f)[:20], want[:20], rtol=1e-4)
+
+    def test_filtered_opacity_leq(self, rng):
+        params, state = tiny_model(rng)
+        filt = jnp.full((64,), 0.1)
+        op_f = gm.filtered_opacity(params, filt)
+        assert np.all(np.asarray(op_f) <= np.asarray(gm.get_opacity(params)) + 1e-6)
+
+    def test_reset_opacity(self, rng):
+        params, state = tiny_model(rng)
+        filt = jnp.full((64,), 0.05)
+        p2 = gm.reset_opacity(params, filt)
+        op_f = np.asarray(gm.filtered_opacity(p2, filt))
+        assert np.all(op_f[:20] <= 0.0101)
+
+    def test_masked_quantile(self, rng):
+        x = rng.random(100).astype(np.float32)
+        mask = rng.random(100) < 0.7
+        for q in (0.0, 0.3, 0.77, 1.0):
+            got = float(gm._masked_quantile(jnp.asarray(x), jnp.asarray(mask), jnp.float32(q)))
+            want = float(np.quantile(x[mask], q))
+            assert abs(got - want) < 1e-5, (q, got, want)
+
+    def test_densify_clone_and_split(self, rng):
+        params, state = tiny_model(rng, n=20, cap=128)
+        extent = 10.0
+        pd = 0.01
+        scaling = np.full((128, 3), np.log(0.01), np.float32)
+        scaling[5] = np.log(1.0)  # big gaussian -> split candidate
+        params = params._replace(scaling=jnp.asarray(scaling))
+        grad = np.full(128, 0.001, np.float32)
+        grad[3] = 1.0  # small gaussian, high grad -> clone
+        grad[5] = 1.0  # big gaussian, high grad -> split
+        state = state._replace(
+            grad_accum=jnp.asarray(grad), denom=jnp.ones(128),
+            grad_abs_accum=jnp.asarray(grad),
+        )
+        p2, s2, _, rep = gm.densify_and_prune(
+            params, state, None, jax.random.PRNGKey(0),
+            max_grad=0.5, min_opacity=0.005, extent=extent, percent_dense=pd,
+            use_size_prune=False,
+        )
+        assert int(rep.n_cloned) == 1
+        assert int(rep.n_split) == 1
+        # net: 20 + 1 clone + 2 children - 1 split original = 22
+        assert int(gm.num_active(s2)) == 22
+        assert not bool(rep.pool_overflow)
+        # split children have scale / 1.6 (inactive slots keep stale values)
+        act_scales = np.exp(np.asarray(p2.scaling))[np.asarray(s2.active)]
+        assert np.isclose(act_scales.max(), 1.0 / 1.6, rtol=1e-4)
+
+    def test_prune_low_opacity(self, rng):
+        params, state = tiny_model(rng, n=20, cap=64)
+        op = np.asarray(params.opacity).copy()
+        op[:5] = gm.inverse_sigmoid(jnp.float32(0.001))
+        params = params._replace(opacity=jnp.asarray(op))
+        # distinct sub-threshold grads: ratio=0 -> Q=max(abs) -> only the
+        # argmax (index 10, high opacity) is selected for cloning, mirroring
+        # the reference's >=-quantile edge case
+        gabs = np.zeros(64, np.float32)
+        gabs[:20] = np.linspace(1e-6, 1e-5, 20)
+        order = np.argsort(gabs[:20])
+        gabs[:20] = gabs[:20][order]
+        gabs[10], gabs[19] = gabs[19], gabs[10]  # argmax at index 10
+        state = state._replace(denom=jnp.ones(64), grad_abs_accum=jnp.asarray(gabs))
+        p2, s2, _, rep = gm.densify_and_prune(
+            params, state, None, jax.random.PRNGKey(0),
+            max_grad=999.0, min_opacity=0.005, extent=10.0, percent_dense=0.01,
+            use_size_prune=False,
+        )
+        # 20 actives + 1 clone (of #10) - 5 low-opacity pruned = 16
+        assert int(gm.num_active(s2)) == 16
+        assert int(rep.n_pruned) == 5
+
+    def test_pool_overflow_flag(self, rng):
+        params, state = tiny_model(rng, n=20, cap=21)
+        state = state._replace(
+            grad_accum=jnp.ones(21) * 10, denom=jnp.ones(21), grad_abs_accum=jnp.zeros(21)
+        )
+        _, _, _, rep = gm.densify_and_prune(
+            params, state, None, jax.random.PRNGKey(0),
+            max_grad=0.5, min_opacity=0.005, extent=1000.0, percent_dense=0.9,
+            use_size_prune=False,
+        )
+        assert bool(rep.pool_overflow)
+
+    def test_densify_jit_clean(self, rng):
+        params, state = tiny_model(rng, n=20, cap=64)
+        state = state._replace(denom=jnp.ones(64))
+        f = jax.jit(
+            lambda p, s, k: gm.densify_and_prune(
+                p, s, None, k, 0.5, 0.005, 10.0, 0.01, jnp.bool_(True)
+            )
+        )
+        p2, s2, _, rep = f(params, state, jax.random.PRNGKey(1))
+        assert p2.xyz.shape == params.xyz.shape
+
+    def test_stats_accumulation(self, rng):
+        params, state = tiny_model(rng, n=20, cap=64)
+        g = jnp.ones((64, 3))
+        radii = jnp.full((64,), 5.0)
+        vis = jnp.arange(64) < 10
+        s2 = gm.add_densification_stats(state, g, radii, vis)
+        assert float(s2.grad_accum[0]) == pytest.approx(np.sqrt(2.0), rel=1e-5)
+        assert float(s2.grad_accum[15]) == 0.0
+        assert float(s2.denom[3]) == 1.0
+        assert float(s2.max_radii2d[2]) == 5.0
