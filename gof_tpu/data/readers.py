@@ -142,12 +142,24 @@ def read_blender_scene(path: str, white_background: bool, eval_split: bool = Tru
     ) else []
 
     ply_path = os.path.join(path, "points3d.ply")
-    # random init inside [-1.3, 1.3]^3 with random SH colors
-    # (dataset_readers.py:221-233: 100k points)
-    rng = np.random.default_rng(0)
-    n = 100_000
-    xyz = (rng.random((n, 3), dtype=np.float32) * 2.6 - 1.3).astype(np.float32)
-    rgb = rng.random((n, 3)).astype(np.float32)
+    if os.path.exists(ply_path):
+        from ..utils import ply as ply_lib
+
+        verts, _ = ply_lib.read_ply(ply_path)
+        xyz = np.stack([verts["x"], verts["y"], verts["z"]], -1).astype(np.float32)
+        if "red" in verts:
+            rgb = np.stack([verts["red"], verts["green"], verts["blue"]], -1).astype(np.float32)
+            if rgb.max() > 1.5:
+                rgb = rgb / 255.0
+        else:
+            rgb = np.full_like(xyz, 0.5)
+    else:
+        # random init inside [-1.3, 1.3]^3 with random SH colors
+        # (dataset_readers.py:221-233: 100k points)
+        rng = np.random.default_rng(0)
+        n = 100_000
+        xyz = (rng.random((n, 3), dtype=np.float32) * 2.6 - 1.3).astype(np.float32)
+        rgb = rng.random((n, 3)).astype(np.float32)
     return SceneInfo(
         point_cloud_xyz=xyz,
         point_cloud_rgb=rgb,

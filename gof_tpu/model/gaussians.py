@@ -296,6 +296,8 @@ def densify_and_prune(
     new_params = params
     moments = opt_moments
 
+    cap = params.xyz.shape[0]
+
     def place(new_params, new_active, moments, src_params, mask):
         targets, ok = _assign_free_slots(new_active, mask)
         p2 = GaussianParams(
@@ -303,9 +305,18 @@ def densify_and_prune(
         )
         a2 = new_active.at[jnp.where(ok, targets, new_active.shape[0])].set(True, mode="drop")
         if moments is not None:
-            moments = jax.tree.map(
-                lambda m: _scatter_rows(m, jnp.zeros_like(m), targets, ok), moments
-            )
+            # zero optimizer moments at reused slots; `moments` may be a whole
+            # optax state — only leaves shaped exactly like a Gaussian param
+            # leaf are touched (protects e.g. appearance embeddings whose
+            # leading dim could coincide with the capacity)
+            param_shapes = {tuple(p.shape) for p in params}
+
+            def zero_slot(m):
+                if hasattr(m, "shape") and tuple(m.shape) in param_shapes and jnp.issubdtype(m.dtype, jnp.floating):
+                    return _scatter_rows(m, jnp.zeros_like(m), targets, ok)
+                return m
+
+            moments = jax.tree.map(zero_slot, moments)
         dropped = jnp.sum(mask) - jnp.sum(ok)
         return p2, a2, moments, dropped
 

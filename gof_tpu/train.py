@@ -1,0 +1,477 @@
+"""Training loop (python -m gof_tpu.train -s <data> -m <out>).
+
+Replaces the reference train.py:90-278. TPU-native structure: the entire
+optimization step (render -> losses -> backward -> Adam -> densification
+stats) is ONE jitted function with donated buffers; the host only samples
+cameras, schedules densify/reset/filter refreshes, grows static capacities on
+overflow (re-jit), and writes logs/checkpoints.
+
+Loss parity (train.py:124-190):
+  rgb:       (1 - lambda_dssim) * L1(+appearance) + lambda_dssim * (1 - SSIM)
+  distortion: mean of channel 8, weight lambda_distortion from iter 15000
+  normal:    1 - dot(render normal in world, normal from depth), weight
+             lambda_depth_normal from iter 15000
+Schedule parity: SH degree +1 every 1k iters; densify every 100 in
+[500, 15000); opacity reset every 3000; 3D filter refresh every 100 post-
+densify iters (train.py:252-269).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import random
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from . import cameras as cameras_lib
+from . import config as config_lib
+from . import sh as sh_lib
+from .data import scene as scene_lib
+from .model import appearance as app_lib
+from .model import gaussians as gm
+from .ops import render as render_lib
+from .ops.blend import pixel_rays
+from .utils import losses, schedules
+
+
+class TrainParams(NamedTuple):
+    gauss: gm.GaussianParams
+    app_net: Optional[dict]
+    app_emb: Optional[jnp.ndarray]
+
+
+def make_optimizer(opt: config_lib.OptimizationParams, spatial_lr_scale: float):
+    """Per-group Adam (training_setup, gaussian_model.py:342-364): eps 1e-15,
+    exp position schedule scaled by the scene extent."""
+
+    def xyz_lr(step):
+        return schedules.expon_lr(
+            step,
+            opt.position_lr_init * spatial_lr_scale,
+            opt.position_lr_final * spatial_lr_scale,
+            opt.position_lr_max_steps,
+            lr_delay_mult=opt.position_lr_delay_mult,
+            lr_delay_steps=0,
+        )
+
+    def adam(lr):
+        return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-15)
+
+    labels = TrainParams(
+        gauss=gm.GaussianParams(
+            xyz="xyz", features_dc="f_dc", features_rest="f_rest",
+            scaling="scaling", rotation="rotation", opacity="opacity",
+        ),
+        app_net="app_net",
+        app_emb="app_emb",
+    )
+    return optax.multi_transform(
+        {
+            "xyz": adam(xyz_lr),
+            "f_dc": adam(opt.feature_lr),
+            "f_rest": adam(opt.feature_lr / 20.0),
+            "scaling": adam(opt.scaling_lr),
+            "rotation": adam(opt.rotation_lr),
+            "opacity": adam(opt.opacity_lr),
+            "app_net": adam(opt.appearance_network_lr),
+            "app_emb": adam(opt.appearance_embeddings_lr),
+        },
+        labels,
+    )
+
+
+def depth_to_normal(camera: cameras_lib.Camera, depth: jnp.ndarray) -> jnp.ndarray:
+    """World-space normals from the median-depth map via central differences
+    (utils/depth_utils.py:6-35). Returns [3, H, W] with zero border."""
+    H, W = camera.height, camera.width
+    rx, ry = pixel_rays(W, H, camera.focal_x, camera.focal_y)
+    dirs_view = jnp.stack([rx, ry, jnp.ones_like(rx)], axis=-1)  # [H, W, 3]
+    R_c2w = camera.world_view[:3, :3].T
+    rays_world = dirs_view @ R_c2w.T
+    points = depth[..., None] * rays_world + camera.cam_center  # [H, W, 3]
+    dx = points[2:, 1:-1] - points[:-2, 1:-1]
+    dy = points[1:-1, 2:] - points[1:-1, :-2]
+    n = jnp.cross(dx, dy)
+    # rsqrt(sum + eps): jnp.linalg.norm has a NaN gradient at exactly 0, and
+    # background pixels produce zero normals
+    n = n * jax.lax.rsqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
+    out = jnp.zeros_like(points)
+    out = out.at[1:-1, 1:-1].set(n)
+    return out.transpose(2, 0, 1)
+
+
+def masked_shs(params: gm.GaussianParams, active_degree: jnp.ndarray, max_degree: int) -> jnp.ndarray:
+    """Zero SH coefficients beyond the warmup degree (oneupSHdegree,
+    train.py:131-132) so the degree can be traced without re-jitting."""
+    shs = gm.get_features(params)
+    K = shs.shape[1]
+    k_idx = jnp.arange(K)
+    keep = k_idx < (active_degree + 1) ** 2
+    return shs * keep[None, :, None]
+
+
+def build_train_step(
+    opt: config_lib.OptimizationParams,
+    model_cfg: config_lib.ModelParams,
+    pipe: config_lib.PipelineParams,
+    tx,
+    interpret: bool = False,
+):
+    sh_degree = model_cfg.sh_degree
+    kernel_size = model_cfg.kernel_size
+    use_app = model_cfg.use_decoupled_appearance
+    backend = pipe.backend
+    capacity = pipe.key_capacity
+
+    # Only the (large) gaussian params are donated. Everything else contains
+    # leaves that XLA constant-dedup/CSE can make share one buffer (zero conv
+    # biases, equal Adam counts, freshly-reset zero densification stats), and
+    # donating a shared buffer twice is a runtime error.
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(gauss: gm.GaussianParams, app_net, app_emb, opt_state,
+                   gstate: gm.GaussianState,
+                   gt: jnp.ndarray, step: jnp.ndarray, camera: cameras_lib.Camera,
+                   bg: jnp.ndarray):
+        tp = TrainParams(gauss=gauss, app_net=app_net, app_emb=app_emb)
+        active_degree = jnp.minimum(step // 1000, sh_degree)
+
+        def loss_fn(tp: TrainParams, carrier):
+            g = tp.gauss
+            scales_f = gm.filtered_scaling(g, gstate.filter_3d)
+            opac_f = gm.filtered_opacity(g, gstate.filter_3d)
+            shs = masked_shs(g, active_degree, sh_degree)
+            out = render_lib.render(
+                camera, g.xyz, scales_f, g.rotation, opac_f, shs, sh_degree,
+                kernel_size, bg, carrier=carrier, active_mask=gstate.active,
+                capacity=capacity, backend=backend, interpret=interpret,
+            )
+            image = out.image[:3]
+            if use_app:
+                l1 = app_lib.appearance_l1(image, gt, tp.app_net, tp.app_emb, camera.uid)
+            else:
+                l1 = losses.l1_loss(image, gt)
+            ssim_val = losses.ssim(image, gt)
+            rgb_loss = (1.0 - opt.lambda_dssim) * l1 + opt.lambda_dssim * (1.0 - ssim_val)
+
+            distortion_loss = jnp.mean(out.image[8])
+
+            depth = out.image[6]
+            d2n = depth_to_normal(camera, depth)
+            rn = out.image[3:6]
+            rn = rn * jax.lax.rsqrt(jnp.sum(rn * rn, axis=0, keepdims=True) + 1e-12)
+            rn_world = jnp.einsum("ij,jhw->ihw", camera.world_view[:3, :3].T, rn)
+            normal_error = 1.0 - jnp.sum(rn_world * d2n, axis=0)
+            depth_normal_loss = jnp.mean(normal_error)
+
+            lam_dist = jnp.where(step >= opt.regularization_from_iter, opt.lambda_distortion, 0.0)
+            lam_dn = jnp.where(step >= opt.regularization_from_iter, opt.lambda_depth_normal, 0.0)
+            loss = rgb_loss + lam_dist * distortion_loss + lam_dn * depth_normal_loss
+            aux = {
+                "l1": l1, "ssim": ssim_val, "distortion": distortion_loss,
+                "depth_normal": depth_normal_loss, "radii": out.radii,
+                "visibility": out.visibility, "num_keys": out.num_keys,
+                "key_overflow": out.overflow, "psnr": losses.psnr(image, gt),
+            }
+            return loss, aux
+
+        carrier0 = jnp.zeros((tp.gauss.xyz.shape[0], 3), jnp.float32)
+        (loss, aux), (grads, carrier_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(tp, carrier0)
+
+        if not use_app:
+            # keep appearance leaves untouched (zero grads)
+            grads = grads._replace(
+                app_net=jax.tree.map(jnp.zeros_like, tp.app_net),
+                app_emb=jnp.zeros_like(tp.app_emb),
+            )
+
+        updates, opt_state = tx.update(grads, opt_state, tp)
+        tp = optax.apply_updates(tp, updates)
+        gstate = gm.add_densification_stats(gstate, carrier_grad, aux["radii"], aux["visibility"])
+        metrics = {k: aux[k] for k in ("l1", "ssim", "distortion", "depth_normal", "num_keys", "key_overflow", "psnr")}
+        metrics["loss"] = loss
+        return tp.gauss, tp.app_net, tp.app_emb, opt_state, gstate, metrics
+
+    def wrapped(tp: TrainParams, opt_state, gstate, gt, step, camera, bg):
+        g2, an2, ae2, opt_state, gstate, metrics = train_step(
+            tp.gauss, tp.app_net, tp.app_emb, opt_state, gstate, gt, step, camera, bg
+        )
+        return TrainParams(gauss=g2, app_net=an2, app_emb=ae2), opt_state, gstate, metrics
+
+    return wrapped
+
+
+def zero_moments_predicate(capacity: int):
+    def fn(leaf, targets, ok):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == capacity:
+            t = jnp.where(ok, targets, capacity)
+            return leaf.at[t].set(jnp.zeros_like(leaf[:1])[0], mode="drop")
+        return leaf
+
+    return fn
+
+
+def grow_capacity(tp: TrainParams, gstate: gm.GaussianState, opt_state, old_cap: int, new_cap: int):
+    """Host-side pool growth: pad every capacity-sized leaf with zeros/defaults."""
+
+    def pad(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == old_cap:
+            x = np.asarray(leaf)
+            out = np.zeros((new_cap,) + x.shape[1:], x.dtype)
+            out[:old_cap] = x
+            return jnp.asarray(out)
+        return leaf
+
+    tp2 = jax.tree.map(pad, tp)
+    # quaternions of fresh slots must be valid
+    rot = np.asarray(tp2.gauss.rotation)
+    rot[old_cap:, 0] = 1.0
+    tp2 = tp2._replace(gauss=tp2.gauss._replace(rotation=jnp.asarray(rot)))
+    gstate2 = jax.tree.map(pad, gstate)
+    opt_state2 = jax.tree.map(pad, opt_state)
+    return tp2, gstate2, opt_state2
+
+
+def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationParams,
+             pipe: config_lib.PipelineParams, test_iterations, save_iterations,
+             checkpoint_iterations, start_checkpoint: str = "", quiet: bool = False,
+             interpret: bool = False):
+    random.seed(0)
+    np.random.seed(0)
+
+    sc = scene_lib.Scene(
+        model_cfg.source_path, model_cfg.model_path, images=model_cfg.images,
+        resolution=model_cfg.resolution, white_background=model_cfg.white_background,
+        eval_split=model_cfg.eval,
+    )
+    config_lib.save_cfg(model_cfg.model_path, model_cfg, pipe, opt)
+
+    n0 = sc.info.point_cloud_xyz.shape[0]
+    cap = 1 << max(int(np.ceil(np.log2(max(n0 * 2, 1024)))), 10)
+    gauss, gstate = gm.init_from_points(
+        sc.info.point_cloud_xyz, sc.info.point_cloud_rgb, model_cfg.sh_degree, cap
+    )
+    app_rng = jax.random.PRNGKey(0)
+    app_net, app_emb = app_lib.init_appearance(app_rng)
+    tp = TrainParams(gauss=gauss, app_net=app_net, app_emb=app_emb)
+
+    tx = make_optimizer(opt, sc.cameras_extent)
+    opt_state = tx.init(tp)
+    # force-materialize distinct buffers: optax init dedupes the eight Adam
+    # count scalars into one constant, which breaks buffer donation
+    opt_state = jax.tree.map(lambda x: jnp.array(np.asarray(x)), opt_state)
+
+    cam_meta = sc.all_cameras_meta(sc.train_cameras)
+    filt = gm.compute_3d_filter(tp.gauss.xyz, gstate.active, *cam_meta)
+    gstate = gstate._replace(filter_3d=filt)
+
+    bg = jnp.asarray([1.0, 1.0, 1.0] if model_cfg.white_background else [0.0, 0.0, 0.0])
+    train_step = build_train_step(opt, model_cfg, pipe, tx, interpret=interpret)
+    densify_fn = jax.jit(
+        lambda p, s, o, k, use_size: gm.densify_and_prune(
+            p, s, o, k, opt.densify_grad_threshold, 0.05, sc.cameras_extent,
+            opt.percent_dense, use_size,
+        )
+    )
+    reset_fn = jax.jit(gm.reset_opacity)
+    filter_fn = jax.jit(gm.compute_3d_filter)
+
+    # host-side camera data cache
+    cam_cache = {}
+
+    def get_cam(info):
+        if info.uid not in cam_cache:
+            cam, gt = sc.camera(info)
+            cam_cache[info.uid] = (cam, jnp.asarray(gt))
+        return cam_cache[info.uid]
+
+    log_path = os.path.join(model_cfg.model_path, "train_log.jsonl")
+    logf = open(log_path, "a")
+    stack = []
+    key = jax.random.PRNGKey(0)
+    ema_loss = None
+    t_start = time.time()
+
+    for iteration in range(1, opt.iterations + 1):
+        if not stack:
+            stack = list(sc.train_cameras)
+            random.shuffle(stack)
+        info = stack.pop()
+        camera, gt = get_cam(info)
+
+        tp, opt_state, gstate, metrics = train_step(
+            tp, opt_state, gstate, gt, jnp.asarray(iteration, jnp.int32), camera, bg
+        )
+
+        # --- host control flow (train.py:237-278) ---
+        if iteration < opt.densify_until_iter:
+            if iteration > opt.densify_from_iter and iteration % opt.densification_interval == 0:
+                use_size = jnp.bool_(iteration > opt.opacity_reset_interval)
+                key, sub = jax.random.split(key)
+                tp_g, gstate, opt_state, rep = _densify(densify_fn, tp, gstate, opt_state, sub, use_size)
+                tp = tp_g
+                if bool(rep.pool_overflow):
+                    new_cap = int(tp.gauss.xyz.shape[0] * 2)
+                    tp, gstate, opt_state = grow_capacity(
+                        tp, gstate, opt_state, tp.gauss.xyz.shape[0], new_cap
+                    )
+                    if not quiet:
+                        print(f"[{iteration}] grew capacity to {new_cap}")
+                filt = filter_fn(tp.gauss.xyz, gstate.active, *cam_meta)
+                gstate = gstate._replace(filter_3d=filt)
+            if iteration % opt.opacity_reset_interval == 0 or (
+                model_cfg.white_background and iteration == opt.densify_from_iter
+            ):
+                tp = tp._replace(gauss=reset_fn(tp.gauss, gstate.filter_3d))
+        elif iteration % 100 == 0:
+            filt = filter_fn(tp.gauss.xyz, gstate.active, *cam_meta)
+            gstate = gstate._replace(filter_3d=filt)
+
+        if bool(metrics["key_overflow"]):
+            pipe.key_capacity *= 2
+            train_step = build_train_step(opt, model_cfg, pipe, tx, interpret=interpret)
+            if not quiet:
+                print(f"[{iteration}] key capacity grew to {pipe.key_capacity}")
+
+        loss = float(metrics["loss"])
+        ema_loss = loss if ema_loss is None else 0.6 * loss + 0.4 * ema_loss
+        if iteration % 10 == 0 or iteration == 1:
+            rec = {
+                "iter": iteration, "loss": round(loss, 5), "ema": round(ema_loss, 5),
+                "psnr": round(float(metrics["psnr"]), 3),
+                "points": int(jnp.sum(gstate.active)),
+                "keys": int(metrics["num_keys"]),
+                "elapsed": round(time.time() - t_start, 1),
+            }
+            logf.write(json.dumps(rec) + "\n")
+            logf.flush()
+            if not quiet and iteration % 100 == 0:
+                print(rec)
+
+        if iteration in test_iterations:
+            report = evaluate(sc, tp, gstate, model_cfg, pipe, bg, interpret)
+            if not quiet:
+                print(f"[{iteration}] eval: {report}")
+            logf.write(json.dumps({"iter": iteration, "eval": report}) + "\n")
+            logf.flush()
+
+        if iteration in save_iterations:
+            path = os.path.join(
+                model_cfg.model_path, "point_cloud", f"iteration_{iteration}", "point_cloud.ply"
+            )
+            scene_lib.save_gaussians_ply(path, tp.gauss, gstate, model_cfg.sh_degree)
+
+        if iteration in checkpoint_iterations:
+            save_checkpoint(model_cfg.model_path, iteration, tp, opt_state, gstate)
+
+    logf.close()
+    return tp, gstate
+
+
+def _densify(densify_fn, tp, gstate, opt_state, key, use_size):
+    g2, s2, opt_state2, rep = densify_fn(tp.gauss, gstate, opt_state, key, use_size)
+    return tp._replace(gauss=g2), s2, opt_state2, rep
+
+
+def evaluate(sc, tp, gstate, model_cfg, pipe, bg, interpret=False, max_views: int = 8):
+    """PSNR over (a subset of) test cameras, as in training_report
+    (train.py:303-342)."""
+    cams = sc.test_cameras or sc.train_cameras[:4]
+    psnrs = []
+    for info in cams[:max_views]:
+        camera, gt = sc.camera(info)
+        img = render_eval(tp, gstate, camera, model_cfg, pipe, bg, interpret)
+        psnrs.append(float(losses.psnr(img[:3], jnp.asarray(gt))))
+    return {"psnr": round(float(np.mean(psnrs)), 3), "views": len(psnrs)}
+
+
+_EVAL_CACHE = {}
+
+
+def build_eval_fn(model_cfg, pipe, interpret=False):
+    """Jitted full-degree eval render (cached per config)."""
+    key = (model_cfg.sh_degree, model_cfg.kernel_size, pipe.key_capacity,
+           pipe.backend, interpret)
+    if key in _EVAL_CACHE:
+        return _EVAL_CACHE[key]
+
+    @jax.jit
+    def f(tp, gstate, camera, bg):
+        g = tp.gauss
+        scales_f = gm.filtered_scaling(g, gstate.filter_3d)
+        opac_f = gm.filtered_opacity(g, gstate.filter_3d)
+        shs = gm.get_features(g)
+        out = render_lib.render(
+            camera, g.xyz, scales_f, g.rotation, opac_f, shs, model_cfg.sh_degree,
+            model_cfg.kernel_size, bg, active_mask=gstate.active,
+            capacity=pipe.key_capacity, backend=pipe.backend, interpret=interpret,
+        )
+        return out.image
+
+    _EVAL_CACHE[key] = f
+    return f
+
+
+def render_eval(tp, gstate, camera, model_cfg, pipe, bg, interpret=False):
+    return build_eval_fn(model_cfg, pipe, interpret)(tp, gstate, camera, bg)
+
+
+def save_checkpoint(model_path, iteration, tp, opt_state, gstate):
+    """Full training state snapshot (the reference torch.save((capture(), it)),
+    train.py:276-278) — ours additionally includes the appearance params and
+    the 3D filter."""
+    import pickle
+
+    path = os.path.join(model_path, f"chkpnt{iteration}.pkl")
+    blob = jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+                        {"tp": tp, "opt_state": opt_state, "gstate": gstate, "iter": iteration})
+    with open(path, "wb") as f:
+        pickle.dump(blob, f)
+
+
+def load_checkpoint(path):
+    import pickle
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    return jax.tree.map(jnp.asarray, blob["tp"]), blob["opt_state"], blob["gstate"], blob["iter"]
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="gof_tpu training")
+    config_lib.add_group(parser, config_lib.ModelParams)
+    config_lib.add_group(parser, config_lib.PipelineParams)
+    config_lib.add_group(parser, config_lib.OptimizationParams)
+    parser.add_argument("--test_iterations", nargs="+", type=int, default=[7_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int, default=[7_000, 30_000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[30_000])
+    parser.add_argument("--start_checkpoint", type=str, default="")
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--cpu", action="store_true", help="force CPU (interpret kernels)")
+    ns = parser.parse_args(argv)
+    if ns.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    model_cfg = config_lib.extract(config_lib.ModelParams, ns)
+    pipe = config_lib.extract(config_lib.PipelineParams, ns)
+    opt = config_lib.extract(config_lib.OptimizationParams, ns)
+    save_iters = sorted(set(ns.save_iterations + [opt.iterations]))
+    training(
+        model_cfg, opt, pipe, set(ns.test_iterations), set(save_iters),
+        set(ns.checkpoint_iterations), ns.start_checkpoint, ns.quiet,
+        interpret=ns.cpu,
+    )
+    print("Training complete.")
+
+
+if __name__ == "__main__":
+    main()
