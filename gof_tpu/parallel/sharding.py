@@ -1,0 +1,140 @@
+"""Multi-chip parallelism via jax.sharding (SURVEY.md §2.3 TPU equivalent).
+
+The reference has no distributed runtime at all — multi-GPU throughput comes
+from one-process-per-(GPU, scene) shell dispatch (scripts/run_mipnerf360.py:
+50-81). The TPU-native replacements, all over one jax.sharding.Mesh:
+
+1. camera-batch data parallelism (`dp_train_step`): each device renders a
+   different training view of the SAME scene; gradients are all-reduced over
+   ICI with psum. This is a semantic extension of the reference's 1-camera
+   SGD (batch size = mesh size) — LRs may need rescaling for parity.
+2. scene parallelism (`scene_parallel_step`): each device owns an independent
+   scene (params stacked along a leading 'scene' axis, zero communication) —
+   the exact semantic analog of the reference's GPU dispatcher.
+3. sharded opacity-field evaluation for mesh extraction (mesh/extract:
+   tet vertices shard trivially across devices).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def replicate(tree, mesh: Mesh):
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_leading(tree, mesh: Mesh, axis: str = "dp"):
+    s = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def build_dp_train_step(loss_and_stats_fn: Callable, tx, mesh: Mesh, axis: str = "dp"):
+    """Camera-batch data-parallel train step.
+
+    Args:
+      loss_and_stats_fn(tp, gstate, carrier, gt, camera, step) -> (loss, aux)
+        the per-view loss (the same function the single-chip step uses).
+      tx: optax transform for tp.
+
+    Returns step(tp, opt_state, gstate, gts, cameras, step) where `gts` and
+    every camera leaf have a leading batch axis of size mesh.size; params and
+    optimizer state are replicated; gradients are psum-averaged over ICI.
+    """
+
+    def per_device(tp, gstate, gts, cameras, step):
+        # local shard has batch size 1
+        gt = gts[0]
+        camera = jax.tree.map(lambda x: x[0], cameras)
+
+        def lf(tp, carrier):
+            return loss_and_stats_fn(tp, gstate, carrier, gt, camera, step)
+
+        carrier0 = jnp.zeros((tp.gauss.xyz.shape[0], 3), jnp.float32)
+        (loss, aux), (grads, cgrad) = jax.value_and_grad(lf, argnums=(0, 1), has_aux=True)(
+            tp, carrier0
+        )
+        # all-reduce over the data axis: mean loss/grads, summed stats
+        loss = jax.lax.pmean(loss, axis)
+        grads = jax.lax.pmean(grads, axis)
+        cgrad = jax.lax.psum(cgrad, axis)
+        radii = jax.lax.pmax(aux["radii"], axis)
+        visibility = jax.lax.psum(aux["visibility"].astype(jnp.int32), axis) > 0
+        return loss, grads, cgrad, radii, visibility
+
+    @jax.jit
+    def step(tp, opt_state, gstate, gts, cameras, it):
+        fn = shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P()),
+            out_specs=(P(), P(), P(), P(), P()),
+            check_rep=False,
+        )
+        loss, grads, cgrad, radii, visibility = fn(tp, gstate, gts, cameras, it)
+        updates, opt_state = tx.update(grads, opt_state, tp)
+        tp = jax.tree.map(lambda p, u: p + u, tp, updates)
+        from ..model import gaussians as gm
+
+        gstate = gm.add_densification_stats(gstate, cgrad, radii, visibility)
+        return tp, opt_state, gstate, loss
+
+    return step
+
+
+def build_scene_parallel_step(single_scene_step: Callable, mesh: Mesh, axis: str = "dp"):
+    """Share-nothing multi-scene training: every leaf of (params, opt_state,
+    gstate, gt, camera) carries a leading scene axis sharded over the mesh;
+    each device advances its own scene independently (the TPU analog of the
+    reference's per-GPU scene dispatcher)."""
+
+    def per_device(*stacked):
+        local = jax.tree.map(lambda x: x[0], stacked)
+        out = single_scene_step(*local)
+        return jax.tree.map(lambda x: x[None], out)
+
+    def step(*stacked):
+        specs = jax.tree.map(lambda _: P(axis), stacked)
+        out_shape = jax.eval_shape(per_device, *stacked)
+        out_specs = jax.tree.map(lambda _: P(axis), out_shape)
+        fn = shard_map(per_device, mesh=mesh, in_specs=tuple(specs), out_specs=out_specs,
+                       check_rep=False)
+        return fn(*stacked)
+
+    return jax.jit(step)
+
+
+def sharded_min_transmittance(eval_fn: Callable, mesh: Mesh, axis: str = "dp"):
+    """Shard opacity-field evaluation points across devices: points [N, 3]
+    sharded on the leading axis; model replicated. Used by mesh extraction
+    (extract_mesh.py:16-34 evaluates |views| full passes per binary-search
+    step — the N axis is embarrassingly parallel)."""
+
+    def per_device(points, *model):
+        return eval_fn(points[0], *model)[None]
+
+    def run(points, *model):
+        n = mesh.size
+        fn = shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(axis),) + tuple(P() for _ in model),
+            out_specs=P(axis), check_rep=False,
+        )
+        return fn(points, *model)
+
+    return jax.jit(run)
