@@ -357,7 +357,7 @@ def rasterize_fwd_pallas(payload, binning: Binning, meta_vec, ntx: int, ntiles: 
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda t, s, n: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, OUT_CH, NPIX), lambda t, s, n: (t, 0, 0)),
         scratch_shapes=[
@@ -601,11 +601,11 @@ def rasterize_bwd_pallas(
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda t, s, n: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, OUT_CH, NPIX), lambda t, s, n: (t, 0, 0)),
             pl.BlockSpec((1, OUT_CH, NPIX), lambda t, s, n: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),
             pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),
