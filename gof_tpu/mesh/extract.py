@@ -1,0 +1,225 @@
+"""Level-set mesh extraction: marching tetrahedra + binary search.
+
+Replaces extract_mesh.py + gaussian_model.get_tetra_points (:432-463) +
+tetra-triangulation (N10; CGAL Delaunay -> scipy Qhull on the host, cells
+cached to disk as in the reference's cells.pt, extract_mesh.py:44-53).
+
+Pipeline (marching_tetrahedra_with_binary_search, extract_mesh.py:37-126):
+ 1. tetra points = per-Gaussian oriented bbox corners at 3x the filtered
+    scale (x2 box) + centers, frustum-masked over the training views
+ 2. Delaunay tetrahedralization (host)
+ 3. alpha(x) = 1 - min over views of alpha_integrated(x) ... where
+    alpha_integrated = 1 - T: equivalently field = min over views of
+    (1 - T_view); sdf = field - 0.5
+ 4. marching tets on the crossing edges
+ 5. 8 binary-search steps re-evaluating the field at interval midpoints
+ 6. optional face filter: drop faces whose edge interval is longer than the
+    sum of the endpoint Gaussian scales
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import cameras as cameras_lib
+from ..model import gaussians as gm
+from ..ops import binning, integrate, quadrics
+from ..ops import rasterize_pallas as rp
+from ..transforms import quat_to_rot
+from ..utils import ply
+from . import tetmesh
+
+# the eight corners of the reference's trimesh box scaled x2: (+-1)^3
+_BOX = np.array(
+    [[x, y, z] for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)], np.float32
+)
+
+
+def frustum_mask(points, world_views, focals_x, focals_y, widths, heights,
+                 near: float = 0.02, far: float = 1e6):
+    """Visible in ANY view: depth in [near, far], pixel in [0, W-1]x[0, H-1]
+    (get_frustum_mask, gaussian_model.py:30-72)."""
+    pv = jnp.einsum("nij,pj->npi", world_views[:, :3, :3], points) + world_views[:, None, :3, 3]
+    z = pv[..., 2]
+    zc = jnp.maximum(z, 1e-6)
+    u = pv[..., 0] / zc * focals_x[:, None] + widths[:, None] / 2.0
+    v = pv[..., 1] / zc * focals_y[:, None] + heights[:, None] / 2.0
+    ok = (
+        (z >= near) & (z <= far)
+        & (u >= 0) & (u <= widths[:, None] - 1)
+        & (v >= 0) & (v <= heights[:, None] - 1)
+    )
+    return jnp.any(ok, axis=0)
+
+
+def get_tetra_points(params: gm.GaussianParams, state: gm.GaussianState,
+                     cam_meta, near: float = 0.02, far: float = 1e6):
+    """Gaussian-aligned tetrahedralization points + per-point scale
+    (get_tetra_points, gaussian_model.py:432-463)."""
+    active = np.asarray(state.active)
+    idx = np.nonzero(active)[0]
+    xyz = jnp.asarray(np.asarray(params.xyz)[idx])
+    rot = jnp.asarray(np.asarray(params.rotation)[idx])
+    scale = gm.filtered_scaling(
+        gm.GaussianParams(
+            xyz=xyz, features_dc=None, features_rest=None,
+            scaling=jnp.asarray(np.asarray(params.scaling)[idx]),
+            rotation=rot, opacity=None,
+        ),
+        jnp.asarray(np.asarray(state.filter_3d)[idx]),
+    ) * 3.0
+
+    R = quat_to_rot(rot)  # [P, 3, 3]
+    # corner = xyz + R @ (box_corner * scale)
+    corners = xyz[:, None, :] + jnp.einsum(
+        "pij,pcj->pci", R, jnp.asarray(_BOX)[None, :, :] * scale[:, None, :]
+    )
+    pts = jnp.concatenate([corners.reshape(-1, 3), xyz], axis=0)
+    smax = jnp.max(scale, axis=-1)
+    pscale = jnp.concatenate([jnp.repeat(smax, 8), smax], axis=0)
+
+    mask = frustum_mask(pts, *cam_meta, near=near, far=far)
+    mask_np = np.asarray(mask)
+    return np.asarray(pts)[mask_np], np.asarray(pscale)[mask_np]
+
+
+def delaunay(points: np.ndarray, cache_path: str | None = None) -> np.ndarray:
+    """Host Delaunay tetrahedralization (Qhull), cached like cells.pt."""
+    if cache_path and os.path.exists(cache_path):
+        return np.load(cache_path)
+    from scipy.spatial import Delaunay
+
+    cells = Delaunay(points.astype(np.float64)).simplices.astype(np.int32)
+    if cache_path:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        np.save(cache_path, cells)
+    return cells
+
+
+class FieldEvaluator:
+    """min-over-views opacity field, jitted per (n_points, view size)."""
+
+    def __init__(self, params, state, cameras: List[cameras_lib.Camera],
+                 sh_degree: int, kernel_size: float, key_capacity: int,
+                 interpret: bool = False):
+        self.cameras = cameras
+        self.interpret = interpret
+        self.key_capacity = key_capacity
+        g = params
+        scales_f = gm.filtered_scaling(g, state.filter_3d)
+        opac_f = gm.filtered_opacity(g, state.filter_3d)
+        self.model = dict(
+            xyz=g.xyz, scales=scales_f, rot=g.rotation, op=opac_f,
+            active=state.active,
+        )
+        self.kernel_size = kernel_size
+        self._jit_cache = {}
+
+    def _view_fn(self, n_points: int, camera):
+        key = (n_points, camera.width, camera.height)
+        if key not in self._jit_cache:
+            ntx, nty = binning.tile_grid(camera.width, camera.height)
+            interpret = self.interpret
+            kcap = self.key_capacity
+            pcap = max(1 << int(np.ceil(np.log2(max(n_points, integrate.PBLOCK)))), integrate.PBLOCK)
+
+            @jax.jit
+            def fn(points, xyz, scales, rot, op, active, camera):
+                pre = quadrics.preprocess(
+                    xyz, scales, rot, jnp.zeros((xyz.shape[0], 1, 3)), 0, camera,
+                    self.kernel_size, active,
+                )
+                rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+                b = binning.bin_gaussians(pre.depth, rects, ntx, nty, kcap)
+                op_eff = op * jnp.where(pre.valid, pre.coef, 0.0)
+                sigma6 = rp.pack_sigma6(pre.v2g_M)
+                bvec = jnp.einsum("pji,pj->pi", pre.v2g_M, pre.v2g_u0)
+                payload = rp.build_payload32(
+                    pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, sigma6, bvec,
+                    pre.conic, pre.mean2d, b,
+                )
+                pb = integrate.bin_points(points, camera, ntx, nty, pcap)
+                T = integrate.integrate_transmittance_pallas(
+                    payload, b, pb, points.shape[0], interpret=interpret
+                )
+                return T
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def alpha(self, points: np.ndarray) -> np.ndarray:
+        """field(x) = 1 - min over views of (1 - T_view(x))
+        (evaluage_alpha, extract_mesh.py:16-34)."""
+        pts = jnp.asarray(points, jnp.float32)
+        final_alpha = jnp.ones((pts.shape[0],), jnp.float32)
+        for cam in self.cameras:
+            fn = self._view_fn(pts.shape[0], cam)
+            T = fn(pts, self.model["xyz"], self.model["scales"], self.model["rot"],
+                   self.model["op"], self.model["active"], cam)
+            final_alpha = jnp.minimum(final_alpha, 1.0 - T)
+        return np.asarray(1.0 - final_alpha)
+
+
+def extract_level_set_mesh(
+    params, state, cameras: List[cameras_lib.Camera], cam_meta, out_dir: str,
+    sh_degree: int, kernel_size: float, key_capacity: int = 1 << 20,
+    n_binary_steps: int = 8, filter_faces: bool = True,
+    near: float = 0.02, far: float = 1e6, interpret: bool = False,
+    quiet: bool = False,
+) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    points, pscale = get_tetra_points(params, state, cam_meta, near, far)
+    if not quiet:
+        print(f"tetra points: {len(points)}")
+    cells = delaunay(points, os.path.join(out_dir, "cells.npy"))
+    if not quiet:
+        print(f"tets: {len(cells)}")
+
+    ev = FieldEvaluator(params, state, cameras, sh_degree, kernel_size,
+                        key_capacity, interpret)
+    alpha = ev.alpha(points)
+    mt = tetmesh.marching_tetrahedra(points, cells, alpha - 0.5, pscale)
+    faces = mt["faces"]
+    left = mt["edge_points"][:, 0].copy()
+    right = mt["edge_points"][:, 1].copy()
+    left_sdf = mt["edge_sdf"][:, 0:1].copy()
+    right_sdf = mt["edge_sdf"][:, 1:2].copy()
+    distance = np.linalg.norm(left - right, axis=-1)
+    scale_sum = mt["edge_scale"][:, 0] + mt["edge_scale"][:, 1]
+
+    verts = (left + right) / 2.0
+    for step in range(n_binary_steps):
+        if not quiet:
+            print(f"binary search step {step}")
+        mid = (left + right) / 2.0
+        mid_sdf = (ev.alpha(mid) - 0.5)[:, None]
+        ind_low = ((mid_sdf < 0) & (left_sdf < 0)) | ((mid_sdf > 0) & (left_sdf > 0))
+        left_sdf = np.where(ind_low, mid_sdf, left_sdf)
+        right_sdf = np.where(~ind_low, mid_sdf, right_sdf)
+        m = ind_low[:, 0]
+        left[m] = mid[m]
+        right[~m] = mid[~m]
+        verts = (left + right) / 2.0
+
+    if filter_faces and len(faces):
+        keep_v = distance <= scale_sum
+        keep_f = keep_v[faces].all(axis=1)
+        faces = faces[keep_f]
+        # compact vertices
+        used, faces = np.unique(faces.reshape(-1), return_inverse=True)
+        faces = faces.reshape(-1, 3)
+        verts = verts[used]
+
+    out_path = os.path.join(out_dir, f"mesh_binary_search_{n_binary_steps - 1}.ply")
+    ply.write_ply(
+        out_path,
+        {"x": verts[:, 0], "y": verts[:, 1], "z": verts[:, 2]},
+        faces=faces,
+    )
+    return out_path

@@ -1,0 +1,82 @@
+"""Image metrics over rendered sets (python -m gof_tpu.metrics -m <model>).
+
+Replaces metrics.py: walks {model}/{split}/ours_*/renders vs gt, computes
+PSNR / SSIM (and LPIPS-VGG when pretrained weights are available — this
+environment has no torchvision weights, so LPIPS is reported as null), and
+writes results.json + per_view.json in the reference's format.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def _load(path):
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"), np.float32).transpose(2, 0, 1) / 255.0
+
+
+def evaluate_dir(base: str):
+    import jax
+    import jax.numpy as jnp
+
+    from .utils import losses
+
+    rdir = os.path.join(base, "renders")
+    gdir = os.path.join(base, "gt")
+    names = sorted(os.listdir(rdir))
+    psnrs, ssims, per_view = [], [], {}
+    ssim_j = jax.jit(losses.ssim)
+    psnr_j = jax.jit(losses.psnr)
+    for name in names:
+        r = jnp.asarray(_load(os.path.join(rdir, name)))
+        g = jnp.asarray(_load(os.path.join(gdir, name)))
+        p = float(psnr_j(r, g))
+        s = float(ssim_j(r, g))
+        psnrs.append(p)
+        ssims.append(s)
+        per_view[name] = {"PSNR": p, "SSIM": s, "LPIPS": None}
+    return {
+        "PSNR": float(np.mean(psnrs)),
+        "SSIM": float(np.mean(ssims)),
+        "LPIPS": None,
+        "per_view": per_view,
+    }
+
+
+def main(argv=None):
+    import jax
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-m", "--model_paths", nargs="+", required=True)
+    parser.add_argument("--cpu", action="store_true")
+    ns = parser.parse_args(argv)
+    if ns.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    for mp in ns.model_paths:
+        full = {}
+        per_view_all = {}
+        test_dir = os.path.join(mp, "test")
+        if not os.path.isdir(test_dir):
+            print(f"{mp}: no test renders")
+            continue
+        for method in sorted(os.listdir(test_dir)):
+            res = evaluate_dir(os.path.join(test_dir, method))
+            pv = res.pop("per_view")
+            full[method] = res
+            per_view_all[method] = pv
+            print(f"{mp} {method}: PSNR {res['PSNR']:.3f}  SSIM {res['SSIM']:.4f}")
+        with open(os.path.join(mp, "results.json"), "w") as f:
+            json.dump(full, f, indent=2)
+        with open(os.path.join(mp, "per_view.json"), "w") as f:
+            json.dump(per_view_all, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

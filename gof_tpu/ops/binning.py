@@ -104,6 +104,7 @@ def bin_gaussians(
     ntx: int,
     nty: int,
     capacity: int,
+    chunk_size: int = CHUNK_SIZE,
 ) -> Binning:
     """Build the (tile, depth)-ordered duplicated Gaussian list.
 
@@ -111,7 +112,9 @@ def bin_gaussians(
       depth: [P] view-space depths (invalid Gaussians may hold anything;
         rects.w/h are 0 for them).
       capacity: static maximum number of duplicated keys (pre-padding).
+      chunk_size: per-tile segment alignment (kernel DMA block length).
     """
+    CHUNK = chunk_size
     P = depth.shape[0]
     ntiles = ntx * nty
     counts = rects.w * rects.h  # [P]
@@ -148,14 +151,14 @@ def bin_gaussians(
     seg_start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
     seg_end = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(jnp.int32)
     seg_len = seg_end - seg_start
-    chunks = -(-seg_len // CHUNK_SIZE)  # ceil
-    pad_len = chunks * CHUNK_SIZE
+    chunks = -(-seg_len // CHUNK)  # ceil
+    pad_len = chunks * CHUNK
     pad_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_len).astype(jnp.int32)]
     )  # [NTILES+1]
 
-    cap_pad = capacity + ntiles * (CHUNK_SIZE - 1)
-    cap_pad = -(-cap_pad // CHUNK_SIZE) * CHUNK_SIZE
+    cap_pad = capacity + ntiles * (CHUNK - 1)
+    cap_pad = -(-cap_pad // CHUNK) * CHUNK
     # 5. scatter-free relayout into the chunk-aligned slots: final slot f in
     #    tile t (t = searchsorted(pad_start, f)) holds sorted entry
     #    seg_start[t] + (f - pad_start[t]) if that is within the segment.

@@ -180,13 +180,12 @@ class _ChunkFwd(NamedTuple):
     prod_incl: jnp.ndarray  # inclusive prefix product of (1 - a)
 
 
-def _chunk_terms(p, rx, ry, R3):
-    """Per-pair blend quantities for one [CHUNK, 32] payload block.
+def _chunk_geometry(p, rx, ry, R3):
+    """Ray-space linear algebra for one [CHUNK, 32] payload block: directions
+    d = M r, normals n = Sigma r, ud = b.r, dd = |d|^2, peak depth t.
+    The matmuls ride the MXU ([G, 3] @ [3, PIX])."""
 
-    The linear algebra rides one MXU matmul: A [7*G, 3] @ R3^T where A stacks
-    M rows (d), Sigma rows (n) and b (u0.d).
-    """
-    def mm(rows):  # [G, 3] @ [3, PIX] -> [G, PIX] on the MXU
+    def mm(rows):
         return jnp.dot(rows, R3, preferred_element_type=jnp.float32)
 
     d0 = mm(p[:, 4:7])
@@ -200,6 +199,12 @@ def _chunk_terms(p, rx, ry, R3):
 
     dd = rx * n0 + ry * n1 + n2 + 1e-12  # = r^T Sigma r = |d|^2
     t = -ud / dd
+    return d0, d1, d2, n0, n1, n2, ud, dd, t
+
+
+def _chunk_terms(p, rx, ry, R3):
+    """Per-pair blend quantities for one [CHUNK, 32] payload block."""
+    d0, d1, d2, n0, n1, n2, ud, dd, t = _chunk_geometry(p, rx, ry, R3)
     u0x, u0y, u0z = p[:, 13:14], p[:, 14:15], p[:, 15:16]
     v0 = u0x + t * d0
     v1 = u0y + t * d1
