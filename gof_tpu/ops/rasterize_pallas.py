@@ -386,8 +386,9 @@ def rasterize_fwd_pallas(payload, binning: Binning, meta_vec, ntx: int, ntiles: 
 def _bwd_kernel(
     ntx: int, halfw: float, halfh: float,
     starts_ref, nchunks_ref, meta_ref, payload_hbm, fout_ref, gout_ref,
-    dslot_hbm, dbuf, pbuf, sem, wsem,
+    dslot_init_hbm, dslot_hbm, dbuf, pbuf, sem, wsem,
 ):
+    del dslot_init_hbm  # aliased with dslot_hbm; provides the zero background
     t_id = pl.program_id(0)
     start = pl.multiple_of(starts_ref[t_id], CHUNK_SIZE)
     nc = nchunks_ref[t_id]
@@ -437,8 +438,8 @@ def _bwd_kernel(
     row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_SIZE, 1), 0)
     ones_row = jnp.ones((1, NPIX), jnp.float32)
 
-    def body(c, carry):
-        T, PwF = carry
+    def body(carry):
+        c, T, PwF = carry
         slot = jax.lax.rem(c, 2)
 
         @pl.when(c + 1 < nc)
@@ -580,19 +581,31 @@ def _bwd_kernel(
 
         T = T * f.prod_incl[CHUNK_SIZE - 1 : CHUNK_SIZE]
         PwF = incl[CHUNK_SIZE - 1 : CHUNK_SIZE]
-        return (T, PwF)
+        return (c + 1, T, PwF)
 
-    init = (jnp.ones((1, NPIX), jnp.float32), jnp.zeros((1, NPIX), jnp.float32))
-    jax.lax.fori_loop(0, nc, body, init)
+    # Early exit once every pixel is saturated: all remaining visits have
+    # w == 0 and produce exactly zero gradients; their dslot rows keep the
+    # zeros of the aliased input (see rasterize_bwd_pallas).
+    def cond(carry):
+        c, T, _ = carry
+        return (c < nc) & (jnp.max(T) >= TRANSMITTANCE_EPS)
+
+    init = (jnp.int32(0), jnp.ones((1, NPIX), jnp.float32), jnp.zeros((1, NPIX), jnp.float32))
+    c_end, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # drain the in-flight prefetch if the loop exited early
+    @pl.when(c_end < nc)
+    def _():
+        copy_in(c_end, jax.lax.rem(c_end, 2)).wait()
 
     # drain outstanding writes
-    @pl.when(nc >= 2)
+    @pl.when(c_end >= 2)
     def _():
-        copy_out(nc - 2, jax.lax.rem(nc - 2, 2)).wait()
+        copy_out(c_end - 2, jax.lax.rem(c_end - 2, 2)).wait()
 
-    @pl.when(nc >= 1)
+    @pl.when(c_end >= 1)
     def _():
-        copy_out(nc - 1, jax.lax.rem(nc - 1, 2)).wait()
+        copy_out(c_end - 1, jax.lax.rem(c_end - 1, 2)).wait()
 
 
 def rasterize_bwd_pallas(
@@ -609,6 +622,7 @@ def rasterize_bwd_pallas(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, OUT_CH, NPIX), lambda t, s, n: (t, 0, 0)),
             pl.BlockSpec((1, OUT_CH, NPIX), lambda t, s, n: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -618,13 +632,17 @@ def rasterize_bwd_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # The output is aliased to a zero-initialized input so chunks skipped by
+    # the saturation early-exit keep exactly-zero gradient rows.
+    dslot_init = jnp.zeros((P_COLS, cap_pad), jnp.float32)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, ntx, halfw, halfh),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P_COLS, cap_pad), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(binning.tile_start, binning.tile_chunks, meta_vec, payload, fout, gout)
+        input_output_aliases={6: 0},
+    )(binning.tile_start, binning.tile_chunks, meta_vec, payload, fout, gout, dslot_init)
 
 
 # ---------------------------------------------------------------------------

@@ -62,7 +62,8 @@ def render(
     """
     P = means3d.shape[0]
     pre = quadrics.preprocess(
-        means3d, scales, rotations, shs, sh_degree, camera, kernel_size, active_mask
+        means3d, scales, rotations, shs, sh_degree, camera, kernel_size, active_mask,
+        opacities=opacities,
     )
     ntx, nty = binning.tile_grid(camera.width, camera.height)
     rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)

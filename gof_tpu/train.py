@@ -335,15 +335,16 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
             filt = filter_fn(tp.gauss.xyz, gstate.active, *cam_meta)
             gstate = gstate._replace(filter_3d=filt)
 
-        if bool(metrics["key_overflow"]):
-            pipe.key_capacity *= 2
-            train_step = build_train_step(opt, model_cfg, pipe, tx, interpret=interpret)
-            if not quiet:
-                print(f"[{iteration}] key capacity grew to {pipe.key_capacity}")
-
-        loss = float(metrics["loss"])
-        ema_loss = loss if ema_loss is None else 0.6 * loss + 0.4 * ema_loss
+        # Host reads force a device sync (~30ms through the TPU tunnel here),
+        # so metrics are only materialized every 10 iterations.
         if iteration % 10 == 0 or iteration == 1:
+            if bool(metrics["key_overflow"]):
+                pipe.key_capacity *= 2
+                train_step = build_train_step(opt, model_cfg, pipe, tx, interpret=interpret)
+                if not quiet:
+                    print(f"[{iteration}] key capacity grew to {pipe.key_capacity}")
+            loss = float(metrics["loss"])
+            ema_loss = loss if ema_loss is None else 0.6 * loss + 0.4 * ema_loss
             rec = {
                 "iter": iteration, "loss": round(loss, 5), "ema": round(ema_loss, 5),
                 "psnr": round(float(metrics["psnr"]), 3),
