@@ -21,30 +21,35 @@ def _load(path):
     return np.asarray(Image.open(path).convert("RGB"), np.float32).transpose(2, 0, 1) / 255.0
 
 
-def evaluate_dir(base: str):
+def evaluate_dir(base: str, lpips_weights: str = ""):
     import jax
     import jax.numpy as jnp
 
     from .utils import losses
+    from .utils.lpips import lpips_fn
 
     rdir = os.path.join(base, "renders")
     gdir = os.path.join(base, "gt")
     names = sorted(os.listdir(rdir))
-    psnrs, ssims, per_view = [], [], {}
+    psnrs, ssims, lpipss, per_view = [], [], [], {}
     ssim_j = jax.jit(losses.ssim)
     psnr_j = jax.jit(losses.psnr)
+    lp = lpips_fn(lpips_weights)
     for name in names:
         r = jnp.asarray(_load(os.path.join(rdir, name)))
         g = jnp.asarray(_load(os.path.join(gdir, name)))
         p = float(psnr_j(r, g))
         s = float(ssim_j(r, g))
+        l = float(lp(r, g)) if lp is not None else None
         psnrs.append(p)
         ssims.append(s)
-        per_view[name] = {"PSNR": p, "SSIM": s, "LPIPS": None}
+        if l is not None:
+            lpipss.append(l)
+        per_view[name] = {"PSNR": p, "SSIM": s, "LPIPS": l}
     return {
         "PSNR": float(np.mean(psnrs)),
         "SSIM": float(np.mean(ssims)),
-        "LPIPS": None,
+        "LPIPS": float(np.mean(lpipss)) if lpipss else None,
         "per_view": per_view,
     }
 
@@ -54,6 +59,7 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser()
     parser.add_argument("-m", "--model_paths", nargs="+", required=True)
+    parser.add_argument("--lpips_weights", default="", help="converted VGG16+LPIPS .npz")
     parser.add_argument("--cpu", action="store_true")
     ns = parser.parse_args(argv)
     if ns.cpu:
@@ -67,7 +73,7 @@ def main(argv=None):
             print(f"{mp}: no test renders")
             continue
         for method in sorted(os.listdir(test_dir)):
-            res = evaluate_dir(os.path.join(test_dir, method))
+            res = evaluate_dir(os.path.join(test_dir, method), ns.lpips_weights)
             pv = res.pop("per_view")
             full[method] = res
             per_view_all[method] = pv

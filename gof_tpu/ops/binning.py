@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..constants import MAX_TILES_PER_GAUSSIAN, TILE_H, TILE_W
@@ -105,6 +106,7 @@ def bin_gaussians(
     nty: int,
     capacity: int,
     chunk_size: int = CHUNK_SIZE,
+    with_dup_mapping: bool = False,
 ) -> Binning:
     """Build the (tile, depth)-ordered duplicated Gaussian list.
 
@@ -113,11 +115,18 @@ def bin_gaussians(
         rects.w/h are 0 for them).
       capacity: static maximum number of duplicated keys (pre-padding).
       chunk_size: per-tile segment alignment (kernel DMA block length).
+      with_dup_mapping: also compute slot_from_dup (tests/tools only).
     """
     CHUNK = chunk_size
     P = depth.shape[0]
     ntiles = ntx * nty
     counts = rects.w * rects.h  # [P]
+
+    # Cost model on TPU (measured): searchsorted(method='scan') over 1M
+    # queries ~128ms, element gathers ~7ms each, multi-operand lax.sort
+    # ~1.6ms, scatter-at-offsets + cumsum ~1.2ms. So every monotone per-slot
+    # expansion below is a delta-scatter + cumsum, and the tile sort carries
+    # its values instead of gathering through an argsort permutation.
 
     # 1. depth order (invalid = count 0 pushed back with +inf)
     sort_depth = jnp.where(counts > 0, depth, jnp.inf)
@@ -127,26 +136,38 @@ def bin_gaussians(
     num_keys = off_o[-1]
     overflow = num_keys > capacity
 
-    # 2. expand to duplicated entries by pure gathers: dup slot k belongs to
-    #    depth-rank i = searchsorted(off, k) - 1, local index j = k - off[i].
+    # 2. expand per-Gaussian values to dup slots. A value v (constant over
+    #    each Gaussian's span, in depth order) expands via
+    #    delta[off[i]] += v[i] - v[i-1]; cumsum. Duplicate offsets (cnt==0
+    #    Gaussians) telescope correctly through the scatter-add.
+    off_clip = jnp.clip(off_o[:-1], 0, capacity - 1).astype(jnp.int32)
+    in_cap = off_o[:-1] < capacity
+
+    def expand(v):
+        v = v.astype(jnp.int32)
+        prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), v[:-1]])
+        delta = jnp.where(in_cap, v - prev, 0)
+        d = jnp.zeros((capacity,), jnp.int32).at[off_clip].add(delta, mode="drop")
+        return jnp.cumsum(d)
+
     k = jnp.arange(capacity, dtype=jnp.int32)
-    i = jnp.searchsorted(off_o, k, side="right").astype(jnp.int32) - 1
-    i = jnp.clip(i, 0, P - 1)
-    j = k - off_o[i].astype(jnp.int32)
     dup_valid = k < num_keys
-    gid = order[i]
-    rw = jnp.maximum(rects.w[gid], 1)
-    ty = rects.y0[gid] + j // rw
-    tx = rects.x0[gid] + j % rw
-    tile = ty * ntx + tx  # [CAP]
+    off_exp = expand(off_o[:-1])
+    gid = expand(order)
+    rw = jnp.maximum(expand(rects.w[order]), 1)
+    x0e = expand(rects.x0[order])
+    y0e = expand(rects.y0[order])
+    j = k - off_exp
+    tile = (y0e + j // rw) * ntx + x0e + j % rw  # [CAP]
     tile = jnp.where(dup_valid, tile, ntiles)  # sentinel sorts last
 
-    # 3. stable sort by tile (input already depth-ordered)
-    perm = jnp.argsort(tile, stable=True)  # [CAP] -> dup index
-    tile_sorted = tile[perm]
-    gauss_sorted = jnp.where(dup_valid[perm], gid[perm], P)
+    # 3. stable sort by tile carrying the gaussian ids (values ride the sort;
+    #    lax.sort is stable, so depth order is preserved within a tile)
+    tile_sorted, gauss_sorted = jax.lax.sort(
+        (tile, jnp.where(dup_valid, gid, P)), num_keys=1, is_stable=True
+    )
 
-    # 4. per-tile ranges + chunk alignment
+    # 4. per-tile ranges + chunk alignment (few queries -> searchsorted fine)
     tile_ids = jnp.arange(ntiles, dtype=tile_sorted.dtype)
     seg_start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
     seg_end = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(jnp.int32)
@@ -160,26 +181,40 @@ def bin_gaussians(
     cap_pad = capacity + ntiles * (CHUNK - 1)
     cap_pad = -(-cap_pad // CHUNK) * CHUNK
     # 5. scatter-free relayout into the chunk-aligned slots: final slot f in
-    #    tile t (t = searchsorted(pad_start, f)) holds sorted entry
-    #    seg_start[t] + (f - pad_start[t]) if that is within the segment.
+    #    tile t holds sorted entry seg_start[t] + (f - pad_start[t]) while
+    #    that is within the segment. t_of_f / per-slot tile constants expand
+    #    with the same delta-cumsum trick (tiles are "gaussians" here).
     f = jnp.arange(cap_pad, dtype=jnp.int32)
-    t_of_f = jnp.searchsorted(pad_start, f, side="right").astype(jnp.int32) - 1
-    t_of_f = jnp.clip(t_of_f, 0, ntiles - 1)
-    local = f - pad_start[t_of_f]
-    src = seg_start[t_of_f] + local
-    in_seg = (local < seg_len[t_of_f]) & (local >= 0)
+    pstart_clip = jnp.clip(pad_start[:-1], 0, cap_pad - 1)
+
+    def expand_pad(v):
+        v = v.astype(jnp.int32)
+        prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), v[:-1]])
+        d = jnp.zeros((cap_pad,), jnp.int32).at[pstart_clip].add(v - prev, mode="drop")
+        return jnp.cumsum(d)
+
+    seg_start_f = expand_pad(seg_start)
+    pad_start_f = expand_pad(pad_start[:-1])
+    seg_len_f = expand_pad(seg_len)
+    local = f - pad_start_f
+    src = seg_start_f + local
+    in_seg = (local < seg_len_f) & (local >= 0)
     src = jnp.clip(src, 0, capacity - 1)
     slot_to_gaussian = jnp.where(in_seg, gauss_sorted[src], P)
     slot_valid = in_seg & (slot_to_gaussian < P)
 
-    # 6. where did each depth-order dup entry end up? (for gradient unsort)
-    #    dup d -> sorted position s (inverse of perm) -> final slot.
-    inv_perm = jnp.zeros((capacity,), jnp.int32).at[perm].set(
-        jnp.arange(capacity, dtype=jnp.int32), unique_indices=True
-    )
-    s = inv_perm
-    t_of_s = jnp.clip(tile, 0, ntiles - 1)  # tile of dup entry d (pre-sort order)
-    slot_from_dup = pad_start[t_of_s] + (s - seg_start[t_of_s])
+    if with_dup_mapping:
+        # dup entry d -> its final chunk-aligned slot (used only by tests and
+        # tools; the gradient reduction uses segment_sum over
+        # slot_to_gaussian and does not need this inverse).
+        perm = jnp.argsort(tile, stable=True)
+        inv_perm = jnp.zeros((capacity,), jnp.int32).at[perm].set(
+            jnp.arange(capacity, dtype=jnp.int32), unique_indices=True
+        )
+        t_of_s = jnp.clip(tile, 0, ntiles - 1)
+        slot_from_dup = pad_start[t_of_s] + (inv_perm - seg_start[t_of_s])
+    else:
+        slot_from_dup = jnp.zeros((capacity,), jnp.int32)
 
     return Binning(
         slot_to_gaussian=slot_to_gaussian,

@@ -243,7 +243,7 @@ def grow_capacity(tp: TrainParams, gstate: gm.GaussianState, opt_state, old_cap:
 def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationParams,
              pipe: config_lib.PipelineParams, test_iterations, save_iterations,
              checkpoint_iterations, start_checkpoint: str = "", quiet: bool = False,
-             interpret: bool = False):
+             interpret: bool = False, profile_dir: str = ""):
     random.seed(0)
     np.random.seed(0)
 
@@ -295,10 +295,17 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
 
     log_path = os.path.join(model_cfg.model_path, "train_log.jsonl")
     logf = open(log_path, "a")
+    tb = _make_tb_writer(model_cfg.model_path)
     stack = []
     key = jax.random.PRNGKey(0)
     ema_loss = None
     t_start = time.time()
+
+    # optional device tracing (the reference's analog is torch.cuda.Event
+    # timing + tensorboard scalars, train.py:103-126); we expose the full
+    # jax profiler instead
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
 
     for iteration in range(1, opt.iterations + 1):
         if not stack:
@@ -354,6 +361,11 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
             }
             logf.write(json.dumps(rec) + "\n")
             logf.flush()
+            if tb is not None:
+                tb.add_scalar("train_loss_patches/total_loss", loss, iteration)
+                tb.add_scalar("train/psnr", rec["psnr"], iteration)
+                tb.add_scalar("total_points", rec["points"], iteration)
+                tb.add_scalar("iter_time", (time.time() - t_start) / iteration, iteration)
             if not quiet and iteration % 100 == 0:
                 print(rec)
 
@@ -373,8 +385,21 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
         if iteration in checkpoint_iterations:
             save_checkpoint(model_cfg.model_path, iteration, tp, opt_state, gstate)
 
+    if profile_dir:
+        jax.profiler.stop_trace()
+    if tb is not None:
+        tb.close()
     logf.close()
     return tp, gstate
+
+
+def _make_tb_writer(model_path: str):
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(model_path)
+    except Exception:
+        return None
 
 
 def _densify(densify_fn, tp, gstate, opt_state, key, use_size):
@@ -459,6 +484,7 @@ def main(argv=None):
     parser.add_argument("--start_checkpoint", type=str, default="")
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--cpu", action="store_true", help="force CPU (interpret kernels)")
+    parser.add_argument("--profile_dir", type=str, default="", help="write a jax profiler trace here")
     ns = parser.parse_args(argv)
     if ns.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -469,7 +495,7 @@ def main(argv=None):
     training(
         model_cfg, opt, pipe, set(ns.test_iterations), set(save_iters),
         set(ns.checkpoint_iterations), ns.start_checkpoint, ns.quiet,
-        interpret=ns.cpu,
+        interpret=ns.cpu, profile_dir=ns.profile_dir,
     )
     print("Training complete.")
 

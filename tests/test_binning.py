@@ -82,7 +82,7 @@ class TestBinning:
         pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
         ntx, nty = binning.tile_grid(cam.width, cam.height)
         rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
-        b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=4096)
+        b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=4096, with_dup_mapping=True)
         nk = int(b.num_keys)
         s2g = np.asarray(b.slot_to_gaussian)
         sfd = np.asarray(b.slot_from_dup)[:nk]
