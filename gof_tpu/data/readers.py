@@ -170,11 +170,68 @@ def read_blender_scene(path: str, white_background: bool, eval_split: bool = Tru
     )
 
 
+def read_multiscale_scene(path: str, white_background: bool,
+                          load_allres: bool = False) -> SceneInfo:
+    """Multi-scale Blender scenes (metadata.json, dataset_readers.py:262-344):
+    each split lists per-image file paths, c2w matrices, focals and sizes;
+    train uses scale 0 only unless load_allres."""
+    with open(os.path.join(path, "metadata.json")) as f:
+        meta = json.load(f)
+
+    def read_split(split, all_res):
+        d = meta[split]
+        infos = []
+        n = len(d["file_path"])
+        for idx in range(n):
+            # multi-scale data stores 4 scales consecutively
+            if not all_res and idx % 4 != 0 and split == "train":
+                continue
+            c2w = np.array(d["cam2world"][idx])
+            c2w = c2w.copy()
+            c2w[:3, 1:3] *= -1
+            w2c = np.linalg.inv(c2w)
+            R = np.transpose(w2c[:3, :3])
+            T = w2c[:3, 3]
+            W = int(d["width"][idx])
+            H = int(d["height"][idx])
+            focal = float(d["focal"][idx])
+            fovx = transforms.focal_to_fov(focal, W)
+            fovy = transforms.focal_to_fov(focal, H)
+            img_path = os.path.join(path, d["file_path"][idx])
+            im = np.asarray(Image.open(img_path).convert("RGBA"), np.float32) / 255.0
+            bg = 1.0 if white_background else 0.0
+            rgb = im[..., :3] * im[..., 3:4] + bg * (1 - im[..., 3:4])
+            infos.append(
+                CameraInfo(
+                    uid=idx, R=R, T=T, fovx=float(fovx), fovy=float(fovy),
+                    image_path=img_path,
+                    image_name=os.path.basename(d["file_path"][idx]),
+                    width=W, height=H, image=rgb.astype(np.float32), alpha=im[..., 3],
+                )
+            )
+        return infos
+
+    train = read_split("train", load_allres)
+    test = read_split("test", True) if "test" in meta else []
+    rng = np.random.default_rng(0)
+    n = 100_000
+    xyz = (rng.random((n, 3), dtype=np.float32) * 2.6 - 1.3).astype(np.float32)
+    rgb = rng.random((n, 3)).astype(np.float32)
+    return SceneInfo(
+        point_cloud_xyz=xyz, point_cloud_rgb=rgb,
+        train_cameras=train, test_cameras=test,
+        nerf_normalization=_nerfpp_norm(train),
+        ply_path=os.path.join(path, "points3d.ply"),
+    )
+
+
 def detect_scene_type(path: str) -> str:
     if os.path.exists(os.path.join(path, "sparse")):
         return "colmap"
     if os.path.exists(os.path.join(path, "transforms_train.json")):
         return "blender"
+    if os.path.exists(os.path.join(path, "metadata.json")):
+        return "multiscale"
     raise ValueError(f"Could not recognize scene type in {path}")
 
 

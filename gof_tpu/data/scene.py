@@ -35,6 +35,8 @@ class Scene:
         kind = readers.detect_scene_type(source_path)
         if kind == "colmap":
             info = readers.read_colmap_scene(source_path, images, eval_split)
+        elif kind == "multiscale":
+            info = readers.read_multiscale_scene(source_path, white_background)
         else:
             info = readers.read_blender_scene(source_path, white_background, eval_split=True)
         self.info = info

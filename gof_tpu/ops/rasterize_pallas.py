@@ -304,7 +304,8 @@ def _fwd_kernel(ntx: int, starts_ref, nchunks_ref, meta_ref, payload_hbm, out_re
 
         m = _ndc_m(f.t)
         wm = w * m
-        # accumulate
+        # accumulate (measured: Mosaic's cross-sublane jnp.sum reductions beat
+        # small ones-matmuls on the MXU here)
         r0 += jnp.sum(p[:, 0:1] * w, axis=0, keepdims=True)
         r1 += jnp.sum(p[:, 1:2] * w, axis=0, keepdims=True)
         r2 += jnp.sum(p[:, 2:3] * w, axis=0, keepdims=True)

@@ -126,10 +126,10 @@ def sharded_min_transmittance(eval_fn: Callable, mesh: Mesh, axis: str = "dp"):
     step — the N axis is embarrassingly parallel)."""
 
     def per_device(points, *model):
-        return eval_fn(points[0], *model)[None]
+        # shard_map hands each device its slice of the leading axis directly
+        return eval_fn(points, *model)
 
     def run(points, *model):
-        n = mesh.size
         fn = shard_map(
             per_device, mesh=mesh,
             in_specs=(P(axis),) + tuple(P() for _ in model),

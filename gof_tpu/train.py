@@ -269,6 +269,13 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
     # count scalars into one constant, which breaks buffer donation
     opt_state = jax.tree.map(lambda x: jnp.array(np.asarray(x)), opt_state)
 
+    first_iter = 0
+    if start_checkpoint:
+        tp, opt_state, gstate, first_iter = load_checkpoint(start_checkpoint)
+        opt_state = jax.tree.map(lambda x: jnp.asarray(x), opt_state)
+        if not quiet:
+            print(f"resumed from {start_checkpoint} at iteration {first_iter}")
+
     cam_meta = sc.all_cameras_meta(sc.train_cameras)
     filt = gm.compute_3d_filter(tp.gauss.xyz, gstate.active, *cam_meta)
     gstate = gstate._replace(filter_3d=filt)
@@ -307,7 +314,7 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    for iteration in range(1, opt.iterations + 1):
+    for iteration in range(first_iter + 1, opt.iterations + 1):
         if not stack:
             stack = list(sc.train_cameras)
             random.shuffle(stack)

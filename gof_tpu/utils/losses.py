@@ -65,3 +65,23 @@ def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
     """PSNR in dB (utils/image_utils.py:14-18)."""
     mse = jnp.mean((img1 - img2) ** 2)
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+def edge_aware_distortion_map(gt_image: jnp.ndarray, distortion_map: jnp.ndarray) -> jnp.ndarray:
+    """Down-weight the distortion map at image edges (the reference ships this
+    as get_edge_aware_distortion_map, train.py:55-64, though its loop keeps it
+    disabled)."""
+    g = gt_image
+    c = g[:, 1:-1, 1:-1]
+    grads = jnp.stack(
+        [
+            jnp.mean(jnp.abs(c - g[:, 1:-1, :-2]), axis=0),
+            jnp.mean(jnp.abs(c - g[:, 1:-1, 2:]), axis=0),
+            jnp.mean(jnp.abs(c - g[:, :-2, 1:-1]), axis=0),
+            jnp.mean(jnp.abs(c - g[:, 2:, 1:-1]), axis=0),
+        ],
+        axis=-1,
+    )
+    w = jnp.exp(-jnp.max(grads, axis=-1))
+    w = jnp.pad(w, ((1, 1), (1, 1)))
+    return distortion_map * w
