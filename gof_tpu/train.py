@@ -231,8 +231,9 @@ def grow_capacity(tp: TrainParams, gstate: gm.GaussianState, opt_state, old_cap:
         return leaf
 
     tp2 = jax.tree.map(pad, tp)
-    # quaternions of fresh slots must be valid
-    rot = np.asarray(tp2.gauss.rotation)
+    # quaternions of fresh slots must be valid (copy: np.asarray of a jax
+    # array is a read-only view)
+    rot = np.array(tp2.gauss.rotation, copy=True)
     rot[old_cap:, 0] = 1.0
     tp2 = tp2._replace(gauss=tp2.gauss._replace(rotation=jnp.asarray(rot)))
     gstate2 = jax.tree.map(pad, gstate)
