@@ -158,7 +158,10 @@ def _integrate_kernel(block_tile_ref, block_ofs_ref, gstart_ref, gchunks_ref,
         return T * prod[CHUNK_SIZE - 1 : CHUNK_SIZE]
 
     T = jax.lax.fori_loop(0, nc, body, jnp.ones((1, PBLOCK), jnp.float32))
-    out_ref[0, :] = T[0]
+    # Mosaic requires the block's sublane dim to be a multiple of 8: the
+    # output carries 8 identical rows per point-block and the caller reads
+    # row 0.
+    out_ref[0, :, :] = jnp.broadcast_to(T, (8, PBLOCK))
 
 
 def integrate_transmittance_pallas(
@@ -184,7 +187,7 @@ def integrate_transmittance_pallas(
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, PBLOCK), lambda b, bt, bo, gs, gc: (b, 0)),
+        out_specs=pl.BlockSpec((1, 8, PBLOCK), lambda b, bt, bo, gs, gc: (b, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -193,10 +196,10 @@ def integrate_transmittance_pallas(
     out = pl.pallas_call(
         _integrate_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, PBLOCK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 8, PBLOCK), jnp.float32),
         interpret=interpret,
     )(pbins.block_tile, pbins.block_ofs, gauss_bins.tile_start, gauss_bins.tile_chunks,
-      prays, payload)
+      prays, payload)[:, 0, :]
 
     # scatter back to point order: slot s (block b, lane l) holds point
     # point_of_slot[block_ofs[b]*PBLOCK + l]
