@@ -66,7 +66,8 @@ class OptimizationParams:
     lambda_dssim: float = 0.2
     lambda_distortion: float = 100.0
     lambda_depth_normal: float = 0.05
-    regularization_from_iter: int = 15_000
+    distortion_from_iter: int = 15_000
+    depth_normal_from_iter: int = 15_000
     densification_interval: int = 100
     opacity_reset_interval: int = 3_000
     densify_from_iter: int = 500

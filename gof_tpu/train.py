@@ -170,8 +170,8 @@ def build_train_step(
             normal_error = 1.0 - jnp.sum(rn_world * d2n, axis=0)
             depth_normal_loss = jnp.mean(normal_error)
 
-            lam_dist = jnp.where(step >= opt.regularization_from_iter, opt.lambda_distortion, 0.0)
-            lam_dn = jnp.where(step >= opt.regularization_from_iter, opt.lambda_depth_normal, 0.0)
+            lam_dist = jnp.where(step >= opt.distortion_from_iter, opt.lambda_distortion, 0.0)
+            lam_dn = jnp.where(step >= opt.depth_normal_from_iter, opt.lambda_depth_normal, 0.0)
             loss = rgb_loss + lam_dist * distortion_loss + lam_dn * depth_normal_loss
             aux = {
                 "l1": l1, "ssim": ssim_val, "distortion": distortion_loss,
@@ -244,7 +244,8 @@ def grow_capacity(tp: TrainParams, gstate: gm.GaussianState, opt_state, old_cap:
 def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationParams,
              pipe: config_lib.PipelineParams, test_iterations, save_iterations,
              checkpoint_iterations, start_checkpoint: str = "", quiet: bool = False,
-             interpret: bool = False, profile_dir: str = ""):
+             interpret: bool = False, profile_dir: str = "",
+             debug_image_interval: int = 0):
     random.seed(0)
     np.random.seed(0)
 
@@ -377,6 +378,15 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
             if not quiet and iteration % 100 == 0:
                 print(rec)
 
+        if debug_image_interval and iteration % debug_image_interval == 0:
+            from .utils import vis
+
+            img = render_eval(tp, gstate, camera, model_cfg, pipe, bg, interpret)
+            vis.save_debug_grid(
+                os.path.join(model_cfg.model_path, "debug", f"iter_{iteration:06d}.png"),
+                np.asarray(img), np.asarray(gt),
+            )
+
         if iteration in test_iterations:
             report = evaluate(sc, tp, gstate, model_cfg, pipe, bg, interpret)
             if not quiet:
@@ -493,6 +503,8 @@ def main(argv=None):
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--cpu", action="store_true", help="force CPU (interpret kernels)")
     parser.add_argument("--profile_dir", type=str, default="", help="write a jax profiler trace here")
+    parser.add_argument("--debug_image_interval", type=int, default=0,
+                        help="save a gt/render/normal/depth/alpha/distortion grid every N iters")
     ns = parser.parse_args(argv)
     if ns.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -504,6 +516,7 @@ def main(argv=None):
         model_cfg, opt, pipe, set(ns.test_iterations), set(save_iters),
         set(ns.checkpoint_iterations), ns.start_checkpoint, ns.quiet,
         interpret=ns.cpu, profile_dir=ns.profile_dir,
+        debug_image_interval=ns.debug_image_interval,
     )
     print("Training complete.")
 

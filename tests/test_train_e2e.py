@@ -69,7 +69,7 @@ class TestTrainE2E:
         pipe = config_lib.PipelineParams(backend="xla", key_capacity=512)
         opt = config_lib.OptimizationParams(
             iterations=100, densify_from_iter=10_000, densify_until_iter=0,
-            opacity_reset_interval=100_000, regularization_from_iter=50,
+            opacity_reset_interval=100_000, distortion_from_iter=50, depth_normal_from_iter=50,
             lambda_distortion=10.0,
         )
         train_lib.training(model_cfg, opt, pipe, test_iterations={1, 100},
@@ -94,7 +94,7 @@ class TestTrainE2E:
         opt = config_lib.OptimizationParams(
             iterations=30, densify_from_iter=9, densify_until_iter=30,
             densification_interval=10, opacity_reset_interval=25,
-            regularization_from_iter=5,
+            distortion_from_iter=5, depth_normal_from_iter=5,
         )
         train_lib.training(model_cfg, opt, pipe, test_iterations=set(),
                            save_iterations=set(), checkpoint_iterations={30},
