@@ -22,11 +22,11 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", action="store_true")
-    ap.add_argument("--gaussians", type=int, default=200_000)
+    ap.add_argument("--gaussians", type=int, default=100_000)
     ap.add_argument("--width", type=int, default=1237)
     ap.add_argument("--height", type=int, default=822)
     ap.add_argument("--capacity", type=int, default=1 << 20)
-    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
