@@ -62,7 +62,7 @@ def main():
     CAP = args.capacity
 
     def full_impl(means, scales, rots, opac, shs, carrier):
-        pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
+        pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1, opacities=opac)
         rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
         b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=CAP)
         op_eff = opac * jnp.where(pre.valid, jax.lax.stop_gradient(pre.coef), 0.0)
