@@ -385,7 +385,7 @@ def rasterize_fwd_pallas(payload, binning: Binning, meta_vec, ntx: int, ntiles: 
 
 
 def _bwd_kernel(
-    ntx: int, halfw: float, halfh: float,
+    ntx: int, halfw: float, halfh: float, with_stats: bool,
     starts_ref, nchunks_ref, meta_ref, payload_hbm, fout_ref, gout_ref,
     dslot_init_hbm, dslot_hbm, dbuf, pbuf, sem, wsem,
 ):
@@ -512,12 +512,14 @@ def _bwd_kernel(
         dn2 = dn2 + dL_ddd
 
         # densification stats (reference's pseudo-gradient, backward.cu:896-909)
-        ca, cb, cc = p[:, 26:27], p[:, 27:28], p[:, 28:29]
-        dxp = p[:, 29:30] - (px - 0.5)
-        dyp = p[:, 30:31] - (py - 0.5)
-        dL_dG2 = op * dL_da * f.active
-        gx = dL_dG2 * (-f.E) * (ca * dxp + cb * dyp) * halfw
-        gy = dL_dG2 * (-f.E) * (cb * dxp + cc * dyp) * halfh
+        # — compiled out after densification ends (with_stats=False)
+        if with_stats:
+            ca, cb, cc = p[:, 26:27], p[:, 27:28], p[:, 28:29]
+            dxp = p[:, 29:30] - (px - 0.5)
+            dyp = p[:, 30:31] - (py - 0.5)
+            dL_dG2 = op * dL_da * f.active
+            gx = dL_dG2 * (-f.E) * (ca * dxp + cb * dyp) * halfw
+            gy = dL_dG2 * (-f.E) * (cb * dxp + cc * dyp) * halfh
 
         # reduce over pixels into per-slot gradient rows; the NT-dot
         # dot_nt(basis [k, PIX], X [G, PIX]) -> [k, G] yields the transposed
@@ -536,14 +538,17 @@ def _bwd_kernel(
             axis=0,
         )
         dop_t = _dot_nt(ones_row, dop_pix)
-        stats_t = jnp.concatenate(
-            [
-                _dot_nt(ones_row, gx),
-                _dot_nt(ones_row, gy),
-                _dot_nt(ones_row, jnp.abs(gx) + jnp.abs(gy)),
-            ],
-            axis=0,
-        )
+        if with_stats:
+            stats_t = jnp.concatenate(
+                [
+                    _dot_nt(ones_row, gx),
+                    _dot_nt(ones_row, gy),
+                    _dot_nt(ones_row, jnp.abs(gx) + jnp.abs(gy)),
+                ],
+                axis=0,
+            )
+        else:
+            stats_t = jnp.zeros((3, CHUNK_SIZE), jnp.float32)
         dsig_t = jnp.concatenate(
             [
                 dn0_t[0:1],
@@ -611,7 +616,7 @@ def _bwd_kernel(
 
 def rasterize_bwd_pallas(
     payload, fout, gout, binning: Binning, meta_vec, ntx: int, ntiles: int,
-    halfw: float, halfh: float, interpret=False,
+    halfw: float, halfh: float, interpret=False, with_stats=True,
 ):
     """Run the backward kernel. Returns per-slot gradient rows [32, CAP_PAD]."""
     cap_pad = payload.shape[1]
@@ -637,7 +642,7 @@ def rasterize_bwd_pallas(
     # the saturation early-exit keep exactly-zero gradient rows.
     dslot_init = jnp.zeros((P_COLS, cap_pad), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, ntx, halfw, halfh),
+        functools.partial(_bwd_kernel, ntx, halfw, halfh, with_stats),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P_COLS, cap_pad), jnp.float32),
         interpret=interpret,
@@ -659,6 +664,9 @@ class RasterMeta(NamedTuple):
     width: int
     height: int
     interpret: bool = False
+    # compile the densification-stat pseudo-gradients into the backward
+    # kernel (turn off after densify_until_iter for a faster backward)
+    with_stats: bool = True
 
 
 def _meta_vec(focal_x, focal_y, bg, width, height):
@@ -705,6 +713,7 @@ def _raster_bwd(meta, res, gout):
     dslot_t = rasterize_bwd_pallas(
         payload, fout, gout, binning, mv, meta.ntx, meta.ntx * meta.nty,
         meta.width / 2.0, meta.height / 2.0, interpret=meta.interpret,
+        with_stats=meta.with_stats,
     )
     per_g = reduce_per_gaussian(dslot_t.T, binning, P)
     drgb = per_g[:, 0:3]

@@ -51,6 +51,7 @@ def render(
     capacity: int = 1 << 20,
     backend: str = "pallas",
     interpret: bool = False,
+    with_stats: bool = True,
 ) -> RenderOut:
     """Render one view.
 
@@ -78,7 +79,8 @@ def render(
         sigma6 = rp.pack_sigma6(pre.v2g_M)
         bvec = jnp.einsum("pji,pj->pi", pre.v2g_M, pre.v2g_u0)
         meta = rp.RasterMeta(
-            ntx=ntx, nty=nty, width=camera.width, height=camera.height, interpret=interpret
+            ntx=ntx, nty=nty, width=camera.width, height=camera.height,
+            interpret=interpret, with_stats=with_stats,
         )
         tile_out = rp.rasterize(
             meta, pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, sigma6, bvec,

@@ -123,6 +123,7 @@ def build_train_step(
     pipe: config_lib.PipelineParams,
     tx,
     interpret: bool = False,
+    with_stats: bool = True,
 ):
     sh_degree = model_cfg.sh_degree
     kernel_size = model_cfg.kernel_size
@@ -151,6 +152,7 @@ def build_train_step(
                 camera, g.xyz, scales_f, g.rotation, opac_f, shs, sh_degree,
                 kernel_size, bg, carrier=carrier, active_mask=gstate.active,
                 capacity=capacity, backend=backend, interpret=interpret,
+                with_stats=with_stats,
             )
             image = out.image[:3]
             if use_app:
@@ -283,6 +285,7 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
     gstate = gstate._replace(filter_3d=filt)
 
     bg = jnp.asarray([1.0, 1.0, 1.0] if model_cfg.white_background else [0.0, 0.0, 0.0])
+    with_stats = True
     train_step = build_train_step(opt, model_cfg, pipe, tx, interpret=interpret)
     densify_fn = jax.jit(
         lambda p, s, o, k, use_size: gm.densify_and_prune(
@@ -317,6 +320,12 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
         jax.profiler.start_trace(profile_dir)
 
     for iteration in range(first_iter + 1, opt.iterations + 1):
+        # after densification ends, the densify-stat pseudo-gradients are
+        # compiled out of the backward kernel
+        if with_stats and iteration > opt.densify_until_iter:
+            with_stats = False
+            train_step = build_train_step(opt, model_cfg, pipe, tx,
+                                          interpret=interpret, with_stats=False)
         if not stack:
             stack = list(sc.train_cameras)
             random.shuffle(stack)
@@ -356,7 +365,8 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
         if iteration % 10 == 0 or iteration == 1:
             if bool(metrics["key_overflow"]):
                 pipe.key_capacity *= 2
-                train_step = build_train_step(opt, model_cfg, pipe, tx, interpret=interpret)
+                train_step = build_train_step(opt, model_cfg, pipe, tx,
+                                              interpret=interpret, with_stats=with_stats)
                 if not quiet:
                     print(f"[{iteration}] key capacity grew to {pipe.key_capacity}")
             loss = float(metrics["loss"])
