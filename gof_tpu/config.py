@@ -15,8 +15,7 @@ import argparse
 import dataclasses
 import json
 import os
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
 
 
 @dataclass

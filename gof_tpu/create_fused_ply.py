@@ -16,7 +16,6 @@ import numpy as np
 
 def main(argv=None):
     import jax
-    import jax.numpy as jnp
 
     parser = argparse.ArgumentParser()
     parser.add_argument("-m", "--model_path", required=True)

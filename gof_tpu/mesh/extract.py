@@ -19,9 +19,8 @@ Pipeline (marching_tetrahedra_with_binary_search, extract_mesh.py:37-126):
 
 from __future__ import annotations
 
-import functools
 import os
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -29,8 +29,6 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -36,7 +36,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -202,7 +201,7 @@ def _chunk_geometry(p, rx, ry, R3):
     return d0, d1, d2, n0, n1, n2, ud, dd, t
 
 
-def _chunk_terms(p, rx, ry, R3):
+def _chunk_terms(p, rx, ry, R3, need_normals=True):
     """Per-pair blend quantities for one [CHUNK, 32] payload block."""
     d0, d1, d2, n0, n1, n2, ud, dd, t = _chunk_geometry(p, rx, ry, R3)
     u0x, u0y, u0z = p[:, 13:14], p[:, 14:15], p[:, 15:16]
@@ -215,7 +214,9 @@ def _chunk_terms(p, rx, ry, R3):
     a_raw = jnp.minimum(ALPHA_MAX, op * E)
     active = (t > NEAR_PLANE) & (a_raw >= ALPHA_MIN)
     a = jnp.where(active, a_raw, 0.0)
-    inv_len = jax.lax.rsqrt(n0 * n0 + n1 * n1 + n2 * n2 + 1e-7)
+    inv_len = (
+        jax.lax.rsqrt(n0 * n0 + n1 * n1 + n2 * n2 + 1e-7) if need_normals else None
+    )
     prod_incl = _cumprod_incl(1.0 - a)
     return _ChunkFwd(
         a=a, active=active, t=t, E=E,

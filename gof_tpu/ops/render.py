@@ -13,7 +13,6 @@ import jax
 import jax.numpy as jnp
 
 from .. import cameras as cameras_lib
-from ..constants import TILE_W
 from . import binning, quadrics, tiled_ref
 from . import rasterize_pallas as rp
 

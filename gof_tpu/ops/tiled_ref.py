@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..constants import TILE_LANES, TILE_PIXELS, TILE_W
+from ..constants import TILE_PIXELS, TILE_W
 from . import blend
 from .binning import Binning
 
@@ -103,7 +103,7 @@ def blend_tile(payload_tile: jnp.ndarray, rx: jnp.ndarray, ry: jnp.ndarray, bg: 
     img = blend.finalize(carry, bg)  # [9, PIX]
 
     # median visit index for the backward depth-gradient routing
-    from ..constants import MEDIAN_THRESHOLD, TRANSMITTANCE_EPS
+    from ..constants import MEDIAN_THRESHOLD
 
     a = terms.alpha
     one_minus = 1.0 - a

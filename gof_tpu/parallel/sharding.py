@@ -17,7 +17,6 @@ from one-process-per-(GPU, scene) shell dispatch (scripts/run_mipnerf360.py:
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -32,7 +32,6 @@ import optax
 
 from . import cameras as cameras_lib
 from . import config as config_lib
-from . import sh as sh_lib
 from .data import scene as scene_lib
 from .model import appearance as app_lib
 from .model import gaussians as gm

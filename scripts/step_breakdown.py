@@ -1,0 +1,107 @@
+"""Per-stage timing of the production render+backward at bench scale.
+
+Each stage is chained REPS times inside one jit with a data-dependent
+perturbation so XLA cannot CSE the repetitions; one readback at the end.
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gof_tpu import cameras
+from gof_tpu.ops import binning, quadrics
+from gof_tpu.ops import rasterize_pallas as rp
+from gof_tpu.sh import rgb_to_sh_dc
+
+N = 100_000
+W, H = 1237, 822
+CAPACITY = 1 << 20
+REPS = 8
+
+rng = np.random.default_rng(0)
+z = rng.uniform(2, 12, N)
+means = jnp.asarray(np.stack([rng.uniform(-1, 1, N) * z * 0.45,
+                              rng.uniform(-1, 1, N) * z * 0.3, z], -1), jnp.float32)
+scales = jnp.asarray(np.exp(rng.normal(-3.2, 0.5, (N, 3))), jnp.float32)
+q = rng.normal(size=(N, 4)); q /= np.linalg.norm(q, axis=-1, keepdims=True)
+rots = jnp.asarray(q, jnp.float32)
+opac = jnp.asarray(rng.uniform(0.3, 0.95, N), jnp.float32)
+shs = rgb_to_sh_dc(jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32))[:, None, :]
+cam = cameras.look_at_camera(eye=(0, 0, 0), target=(0, 0, 5.0), width=W, height=H)
+ntx, nty = binning.tile_grid(W, H)
+bg = jnp.zeros(3)
+
+
+def chain(fn, *args, reps=REPS, perturb=0):
+    def body(*args):
+        out = fn(*args)
+        for _ in range(reps - 1):
+            leaf = jax.tree.leaves(out)[0]
+            eps = (leaf.ravel()[:1].astype(jnp.float32) * 1e-30)
+            a = list(args)
+            a[perturb] = a[perturb] + eps.astype(a[perturb].dtype).reshape(
+                (1,) * a[perturb].ndim)
+            out = fn(*a)
+        return out
+    f = jax.jit(body)
+    jax.block_until_ready(f(*args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(*args))
+    return (time.perf_counter() - t0) / reps
+
+
+def t(name, fn, *args, **kw):
+    dt = chain(fn, *args, **kw)
+    print(f"{name:38s} {dt*1e3:8.2f} ms")
+    return dt
+
+
+# stage 1: preprocess
+pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1, opacities=opac)
+d1 = t("preprocess", lambda m: quadrics.preprocess(m, scales, rots, shs, 0, cam, 0.1,
+                                                   opacities=opac).mean2d, means)
+
+# stage 2: rects + binning
+rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+d2 = t("bin_gaussians", lambda d: binning.bin_gaussians(
+    d, rects, ntx, nty, CAPACITY).slot_to_gaussian, pre.depth)
+b = jax.jit(lambda d: binning.bin_gaussians(d, rects, ntx, nty, CAPACITY))(pre.depth)
+print(f"  num_keys={int(b.num_keys)}  chunks={int(np.asarray(b.tile_chunks).sum())}")
+
+# stage 3: payload build (gather)
+op_eff = opac * jnp.where(pre.valid, pre.coef, 0.0)
+sigma6 = rp.pack_sigma6(pre.v2g_M)
+bvec = jnp.einsum("pji,pj->pi", pre.v2g_M, pre.v2g_u0)
+d3 = t("build_payload32 (gather)", lambda r: rp.build_payload32(
+    r, op_eff, pre.v2g_M, pre.v2g_u0, sigma6, bvec, pre.conic, pre.mean2d, b), pre.rgb)
+payload = rp.build_payload32(pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, sigma6, bvec,
+                             pre.conic, pre.mean2d, b)
+
+# stage 4/5: fwd + bwd pallas kernels (payload pre-built; kernel cost only)
+meta = rp.RasterMeta(ntx=ntx, nty=nty, width=W, height=H)
+mv = rp._meta_vec(cam.focal_x, cam.focal_y, bg, W, H)
+ntiles = ntx * nty
+d4 = t("pallas forward kernel", lambda p: rp.rasterize_fwd_pallas(
+    p, b, mv, ntx, ntiles), payload)
+
+carrier = jnp.zeros((N, 3), jnp.float32)
+
+
+def loss_fn(r):
+    out = rp.rasterize(meta, r, op_eff, pre.v2g_M, pre.v2g_u0, sigma6, bvec,
+                       pre.conic, pre.mean2d, carrier, cam.focal_x, cam.focal_y,
+                       bg, b)
+    return jnp.sum(out[:, :9])
+
+
+d5 = t("full fwd+bwd (rasterize VJP, incl gather+reduce)",
+       lambda r: jax.value_and_grad(loss_fn)(r)[1], pre.rgb)
+
+# stage 6: per-gaussian reduce
+dslot = jnp.asarray(rng.standard_normal((payload.shape[1], 32)), jnp.float32)
+d6 = t("reduce_per_gaussian (segment_sum)",
+       lambda d: binning.reduce_per_gaussian(d, b, N), dslot)
+
+tot = d1 + d2 + d5 + d6
+print(f"{'TOTAL (pre+bin+VJP+reduce)':38s} {tot*1e3:8.2f} ms  -> {1/tot:.2f} it/s upper bound")

@@ -1,9 +1,7 @@
 """Tests for the opacity-field integration and mesh extraction stack."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gof_tpu import cameras
 from gof_tpu.mesh import extract, tetmesh

@@ -9,7 +9,6 @@ median routing), and the densification stat carrier.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gof_tpu import cameras
 from gof_tpu.ops import binning, quadrics, tiled_ref
@@ -141,8 +140,7 @@ class TestPallasBackward:
 
         # hand-written quirk rule on the XLA path: recompute per-pair (w, m),
         # dL/dm_i = 2 w_i (m_i * acc_tot - d1_tot) * g8, m -> t -> (M, u0)
-        from gof_tpu.constants import (ALPHA_MAX, ALPHA_MIN, FAR_PLANE, NEAR_PLANE,
-                                       TRANSMITTANCE_EPS)
+        from gof_tpu.constants import TRANSMITTANCE_EPS
 
         def quirk_loss(M, u0):
             # dense oracle-style blend over all gaussians sorted by depth

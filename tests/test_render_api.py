@@ -1,9 +1,7 @@
 """Tests of the high-level ops.render API (both backends)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gof_tpu import cameras
 from gof_tpu.ops import render as render_lib

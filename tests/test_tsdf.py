@@ -9,8 +9,6 @@ from gof_tpu.ops.blend import pixel_rays
 
 def sphere_depth(cam, center, radius):
     """Analytic depth map (view-space z at the first ray-sphere hit)."""
-    import jax.numpy as jnp
-
     rx, ry = pixel_rays(cam.width, cam.height, cam.focal_x, cam.focal_y)
     d = np.stack([np.asarray(rx), np.asarray(ry), np.ones_like(np.asarray(rx))], -1)
     wv = np.asarray(cam.world_view)
