@@ -253,7 +253,8 @@ def _rays_for_tile(tile_id, ntx, meta):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(ntx: int, starts_ref, nchunks_ref, meta_ref, payload_hbm, out_ref, pbuf, sem):
+def _fwd_kernel(ntx: int, with_reg: bool, starts_ref, nchunks_ref, meta_ref,
+                payload_hbm, out_ref, pbuf, sem):
     t_id = pl.program_id(0)
     start = pl.multiple_of(starts_ref[t_id], CHUNK_SIZE)
     nc = nchunks_ref[t_id]
@@ -299,32 +300,37 @@ def _fwd_kernel(ntx: int, starts_ref, nchunks_ref, meta_ref, payload_hbm, out_re
         copy_in(c, slot).wait()
         p = _transpose_mxu(pbuf[slot])  # [32, CHUNK] -> [CHUNK, 32]
 
-        f = _chunk_terms(p, rx, ry, R3)
+        f = _chunk_terms(p, rx, ry, R3, need_normals=with_reg)
         T_excl = T * _shift_down(f.prod_incl, 1, 1.0)
         w = f.a * T_excl * (T_excl > TRANSMITTANCE_EPS)
 
-        m = _ndc_m(f.t)
-        wm = w * m
         # accumulate (measured: Mosaic's cross-sublane jnp.sum reductions beat
         # small ones-matmuls on the MXU here)
         r0 += jnp.sum(p[:, 0:1] * w, axis=0, keepdims=True)
         r1 += jnp.sum(p[:, 1:2] * w, axis=0, keepdims=True)
         r2 += jnp.sum(p[:, 2:3] * w, axis=0, keepdims=True)
-        sneg = f.inv_len * w
-        m0 -= jnp.sum(f.n0 * sneg, axis=0, keepdims=True)
-        m1 -= jnp.sum(f.n1 * sneg, axis=0, keepdims=True)
-        m2 -= jnp.sum(f.n2 * sneg, axis=0, keepdims=True)
         acc += jnp.sum(w, axis=0, keepdims=True)
-        s1 += jnp.sum(wm, axis=0, keepdims=True)
-        s2 += jnp.sum(wm * m, axis=0, keepdims=True)
 
-        med_mask = (f.a > 0) & (T_excl > MEDIAN_THRESHOLD)
-        idxloc = jnp.max(jnp.where(med_mask, row_i, -1), axis=0, keepdims=True)
-        has = idxloc >= 0
-        onehot = (row_i == idxloc) & med_mask
-        tmed = jnp.sum(jnp.where(onehot, f.t, 0.0), axis=0, keepdims=True)
-        depth = jnp.where(has, tmed, depth)
-        med = jnp.where(has, (c * CHUNK_SIZE + idxloc).astype(jnp.float32), med)
+        # regularization channels (normals / distortion / median depth): the
+        # train step compiles these out before distortion_from_iter /
+        # depth_normal_from_iter — their cotangents are structurally zero then
+        if with_reg:
+            m = _ndc_m(f.t)
+            wm = w * m
+            sneg = f.inv_len * w
+            m0 -= jnp.sum(f.n0 * sneg, axis=0, keepdims=True)
+            m1 -= jnp.sum(f.n1 * sneg, axis=0, keepdims=True)
+            m2 -= jnp.sum(f.n2 * sneg, axis=0, keepdims=True)
+            s1 += jnp.sum(wm, axis=0, keepdims=True)
+            s2 += jnp.sum(wm * m, axis=0, keepdims=True)
+
+            med_mask = (f.a > 0) & (T_excl > MEDIAN_THRESHOLD)
+            idxloc = jnp.max(jnp.where(med_mask, row_i, -1), axis=0, keepdims=True)
+            has = idxloc >= 0
+            onehot = (row_i == idxloc) & med_mask
+            tmed = jnp.sum(jnp.where(onehot, f.t, 0.0), axis=0, keepdims=True)
+            depth = jnp.where(has, tmed, depth)
+            med = jnp.where(has, (c * CHUNK_SIZE + idxloc).astype(jnp.float32), med)
 
         T = T * f.prod_incl[CHUNK_SIZE - 1 : CHUNK_SIZE]
         return (c + 1, T, r0, r1, r2, m0, m1, m2, acc, s1, s2, depth, med)
@@ -357,7 +363,8 @@ def _fwd_kernel(ntx: int, starts_ref, nchunks_ref, meta_ref, payload_hbm, out_re
     out_ref[0, 15, :] = zero_row
 
 
-def rasterize_fwd_pallas(payload, binning: Binning, meta_vec, ntx: int, ntiles: int, interpret=False):
+def rasterize_fwd_pallas(payload, binning: Binning, meta_vec, ntx: int, ntiles: int,
+                         interpret=False, with_reg=True):
     """Run the forward blend kernel. Returns [NTILES, 16, 1024]."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -373,7 +380,7 @@ def rasterize_fwd_pallas(payload, binning: Binning, meta_vec, ntx: int, ntiles: 
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, ntx),
+        functools.partial(_fwd_kernel, ntx, with_reg),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ntiles, OUT_CH, NPIX), jnp.float32),
         interpret=interpret,
@@ -386,7 +393,7 @@ def rasterize_fwd_pallas(payload, binning: Binning, meta_vec, ntx: int, ntiles: 
 
 
 def _bwd_kernel(
-    ntx: int, halfw: float, halfh: float, with_stats: bool,
+    ntx: int, halfw: float, halfh: float, with_stats: bool, with_reg: bool,
     starts_ref, nchunks_ref, meta_ref, payload_hbm, fout_ref, gout_ref,
     dslot_init_hbm, dslot_hbm, dbuf, pbuf, sem, wsem,
 ):
@@ -413,9 +420,14 @@ def _bwd_kernel(
     rgbnb2 = fout_ref[0, 2:3, :] - T_fin * bg2
     TOT_F = (
         g_rgb0 * rgbnb0 + g_rgb1 * rgbnb1 + g_rgb2 * rgbnb2
-        + g_n0 * fout_ref[0, 3:4, :] + g_n1 * fout_ref[0, 4:5, :] + g_n2 * fout_ref[0, 5:6, :]
         + g_alpha * acc_tot
     )
+    if with_reg:
+        TOT_F = TOT_F + (
+            g_n0 * fout_ref[0, 3:4, :]
+            + g_n1 * fout_ref[0, 4:5, :]
+            + g_n2 * fout_ref[0, 5:6, :]
+        )
     bgdot = bg0 * g_rgb0 + bg1 * g_rgb1 + bg2 * g_rgb2
     G_RGB = jnp.concatenate([g_rgb0, g_rgb1, g_rgb2], axis=0)  # [3, PIX]
 
@@ -451,19 +463,18 @@ def _bwd_kernel(
         copy_in(c, slot).wait()
         p = _transpose_mxu(pbuf[slot])  # [32, CHUNK] -> [CHUNK, 32]
 
-        f = _chunk_terms(p, rx, ry, R3)
+        f = _chunk_terms(p, rx, ry, R3, need_normals=with_reg)
         T_excl = T * _shift_down(f.prod_incl, 1, 1.0)
         cutoff = T_excl > TRANSMITTANCE_EPS
         w = f.a * T_excl * cutoff
 
         # F_i = per-pair loss sensitivity to one unit of weight
-        nh0 = -f.n0 * f.inv_len
-        nh1 = -f.n1 * f.inv_len
-        nh2 = -f.n2 * f.inv_len
-        F = (
-            p[:, 0:1] * g_rgb0 + p[:, 1:2] * g_rgb1 + p[:, 2:3] * g_rgb2
-            + nh0 * g_n0 + nh1 * g_n1 + nh2 * g_n2 + g_alpha
-        )
+        F = p[:, 0:1] * g_rgb0 + p[:, 1:2] * g_rgb1 + p[:, 2:3] * g_rgb2 + g_alpha
+        if with_reg:
+            nh0 = -f.n0 * f.inv_len
+            nh1 = -f.n1 * f.inv_len
+            nh2 = -f.n2 * f.inv_len
+            F = F + nh0 * g_n0 + nh1 * g_n1 + nh2 * g_n2
         wF = w * F
         incl = PwF + _cumsum_incl(wF)
         SF = TOT_F - incl
@@ -472,24 +483,28 @@ def _bwd_kernel(
             T_excl * cutoff * F - (SF + T_fin * bgdot) / one_m_a
         )
 
-        # distortion (through m only) + median depth -> t
-        m = _ndc_m(f.t)
-        dL_dm = 2.0 * w * (m * acc_tot - d1_tot) * g_dist
-        tc = jnp.maximum(f.t, NEAR_PLANE)
-        dm_dt = (FAR_PLANE * NEAR_PLANE) / ((FAR_PLANE - NEAR_PLANE) * tc * tc)
-        glob_row = (c * CHUNK_SIZE + row_i).astype(jnp.float32)
-        is_med = (glob_row == med_idx) & (f.a > 0)
-        dL_dt = dL_dm * dm_dt + jnp.where(is_med, g_depth, 0.0)
+        if with_reg:
+            # distortion (through m only) + median depth -> t
+            m = _ndc_m(f.t)
+            dL_dm = 2.0 * w * (m * acc_tot - d1_tot) * g_dist
+            tc = jnp.maximum(f.t, NEAR_PLANE)
+            dm_dt = (FAR_PLANE * NEAR_PLANE) / ((FAR_PLANE - NEAR_PLANE) * tc * tc)
+            glob_row = (c * CHUNK_SIZE + row_i).astype(jnp.float32)
+            is_med = (glob_row == med_idx) & (f.a > 0)
+            dL_dt = dL_dm * dm_dt + jnp.where(is_med, g_depth, 0.0)
 
-        # normal channel -> unnormalized normal
-        dnh0 = w * g_n0
-        dnh1 = w * g_n1
-        dnh2 = w * g_n2
-        dot_nh = dnh0 * f.n0 + dnh1 * f.n1 + dnh2 * f.n2
-        il2 = f.inv_len * f.inv_len
-        dn0 = (-dnh0 + dot_nh * f.n0 * il2) * f.inv_len
-        dn1 = (-dnh1 + dot_nh * f.n1 * il2) * f.inv_len
-        dn2 = (-dnh2 + dot_nh * f.n2 * il2) * f.inv_len
+            # normal channel -> unnormalized normal
+            dnh0 = w * g_n0
+            dnh1 = w * g_n1
+            dnh2 = w * g_n2
+            dot_nh = dnh0 * f.n0 + dnh1 * f.n1 + dnh2 * f.n2
+            il2 = f.inv_len * f.inv_len
+            dn0 = (-dnh0 + dot_nh * f.n0 * il2) * f.inv_len
+            dn1 = (-dnh1 + dot_nh * f.n1 * il2) * f.inv_len
+            dn2 = (-dnh2 + dot_nh * f.n2 * il2) * f.inv_len
+        else:
+            dL_dt = 0.0
+            dn0 = dn1 = dn2 = 0.0
 
         # alpha -> opacity / exponent (clamp ignored, as in the reference)
         op = p[:, 3:4]
@@ -617,7 +632,7 @@ def _bwd_kernel(
 
 def rasterize_bwd_pallas(
     payload, fout, gout, binning: Binning, meta_vec, ntx: int, ntiles: int,
-    halfw: float, halfh: float, interpret=False, with_stats=True,
+    halfw: float, halfh: float, interpret=False, with_stats=True, with_reg=True,
 ):
     """Run the backward kernel. Returns per-slot gradient rows [32, CAP_PAD]."""
     cap_pad = payload.shape[1]
@@ -643,7 +658,7 @@ def rasterize_bwd_pallas(
     # the saturation early-exit keep exactly-zero gradient rows.
     dslot_init = jnp.zeros((P_COLS, cap_pad), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, ntx, halfw, halfh, with_stats),
+        functools.partial(_bwd_kernel, ntx, halfw, halfh, with_stats, with_reg),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P_COLS, cap_pad), jnp.float32),
         interpret=interpret,
@@ -668,6 +683,12 @@ class RasterMeta(NamedTuple):
     # compile the densification-stat pseudo-gradients into the backward
     # kernel (turn off after densify_until_iter for a faster backward)
     with_stats: bool = True
+    # compile the regularization outputs (normals ch3:6, median depth ch6,
+    # distortion ch8) and their gradient paths into the kernels. The train
+    # step turns this off before min(distortion_from_iter,
+    # depth_normal_from_iter), where those cotangents are structurally zero
+    # (train.py:157-166 ramps both regularizers from iter 15000).
+    with_reg: bool = True
 
 
 def _meta_vec(focal_x, focal_y, bg, width, height):
@@ -704,7 +725,7 @@ def _raster_fwd(meta, rgb, op_eff, M, u0, sigma6, bvec, conic, mean2d, carrier,
     mv = _meta_vec(focal_x, focal_y, bg, meta.width, meta.height)
     payload = build_payload32(rgb, op_eff, M, u0, sigma6, bvec, conic, mean2d, binning)
     out = rasterize_fwd_pallas(payload, binning, mv, meta.ntx, meta.ntx * meta.nty,
-                               interpret=meta.interpret)
+                               interpret=meta.interpret, with_reg=meta.with_reg)
     res = (payload, out, binning, mv, rgb.shape[0])
     return out, res
 
@@ -714,7 +735,7 @@ def _raster_bwd(meta, res, gout):
     dslot_t = rasterize_bwd_pallas(
         payload, fout, gout, binning, mv, meta.ntx, meta.ntx * meta.nty,
         meta.width / 2.0, meta.height / 2.0, interpret=meta.interpret,
-        with_stats=meta.with_stats,
+        with_stats=meta.with_stats, with_reg=meta.with_reg,
     )
     per_g = reduce_per_gaussian(dslot_t.T, binning, P)
     drgb = per_g[:, 0:3]

@@ -51,6 +51,7 @@ def render(
     backend: str = "pallas",
     interpret: bool = False,
     with_stats: bool = True,
+    with_reg: bool = True,
 ) -> RenderOut:
     """Render one view.
 
@@ -59,6 +60,10 @@ def render(
         (the reference's screenspace_points trick). Created if None.
       capacity: static duplicated-key budget (re-jit with larger on overflow).
       backend: 'pallas' (TPU production) or 'xla' (reference path, any device).
+      with_reg: compile the regularization channels (normals/depth/distortion)
+        and their gradients into the Pallas kernels. The train step sets False
+        before the regularizers activate; those channels then render as zeros
+        and MUST NOT receive nonzero cotangents.
     """
     P = means3d.shape[0]
     pre = quadrics.preprocess(
@@ -79,7 +84,7 @@ def render(
         bvec = jnp.einsum("pji,pj->pi", pre.v2g_M, pre.v2g_u0)
         meta = rp.RasterMeta(
             ntx=ntx, nty=nty, width=camera.width, height=camera.height,
-            interpret=interpret, with_stats=with_stats,
+            interpret=interpret, with_stats=with_stats, with_reg=with_reg,
         )
         tile_out = rp.rasterize(
             meta, pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, sigma6, bvec,

@@ -123,6 +123,7 @@ def build_train_step(
     tx,
     interpret: bool = False,
     with_stats: bool = True,
+    with_reg: bool = True,
 ):
     sh_degree = model_cfg.sh_degree
     kernel_size = model_cfg.kernel_size
@@ -151,7 +152,7 @@ def build_train_step(
                 camera, g.xyz, scales_f, g.rotation, opac_f, shs, sh_degree,
                 kernel_size, bg, carrier=carrier, active_mask=gstate.active,
                 capacity=capacity, backend=backend, interpret=interpret,
-                with_stats=with_stats,
+                with_stats=with_stats, with_reg=with_reg,
             )
             image = out.image[:3]
             if use_app:
@@ -161,19 +162,27 @@ def build_train_step(
             ssim_val = losses.ssim(image, gt)
             rgb_loss = (1.0 - opt.lambda_dssim) * l1 + opt.lambda_dssim * (1.0 - ssim_val)
 
-            distortion_loss = jnp.mean(out.image[8])
+            if with_reg:
+                distortion_loss = jnp.mean(out.image[8])
 
-            depth = out.image[6]
-            d2n = depth_to_normal(camera, depth)
-            rn = out.image[3:6]
-            rn = rn * jax.lax.rsqrt(jnp.sum(rn * rn, axis=0, keepdims=True) + 1e-12)
-            rn_world = jnp.einsum("ij,jhw->ihw", camera.world_view[:3, :3].T, rn)
-            normal_error = 1.0 - jnp.sum(rn_world * d2n, axis=0)
-            depth_normal_loss = jnp.mean(normal_error)
+                depth = out.image[6]
+                d2n = depth_to_normal(camera, depth)
+                rn = out.image[3:6]
+                rn = rn * jax.lax.rsqrt(jnp.sum(rn * rn, axis=0, keepdims=True) + 1e-12)
+                rn_world = jnp.einsum("ij,jhw->ihw", camera.world_view[:3, :3].T, rn)
+                normal_error = 1.0 - jnp.sum(rn_world * d2n, axis=0)
+                depth_normal_loss = jnp.mean(normal_error)
 
-            lam_dist = jnp.where(step >= opt.distortion_from_iter, opt.lambda_distortion, 0.0)
-            lam_dn = jnp.where(step >= opt.depth_normal_from_iter, opt.lambda_depth_normal, 0.0)
-            loss = rgb_loss + lam_dist * distortion_loss + lam_dn * depth_normal_loss
+                lam_dist = jnp.where(step >= opt.distortion_from_iter, opt.lambda_distortion, 0.0)
+                lam_dn = jnp.where(step >= opt.depth_normal_from_iter, opt.lambda_depth_normal, 0.0)
+                loss = rgb_loss + lam_dist * distortion_loss + lam_dn * depth_normal_loss
+            else:
+                # before min(distortion_from_iter, depth_normal_from_iter) the
+                # regularizer weights are zero; the reg channels and their
+                # gradient paths are compiled out of the kernels entirely
+                distortion_loss = jnp.zeros(())
+                depth_normal_loss = jnp.zeros(())
+                loss = rgb_loss
             aux = {
                 "l1": l1, "ssim": ssim_val, "distortion": distortion_loss,
                 "depth_normal": depth_normal_loss, "radii": out.radii,
@@ -284,8 +293,15 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
     gstate = gstate._replace(filter_3d=filt)
 
     bg = jnp.asarray([1.0, 1.0, 1.0] if model_cfg.white_background else [0.0, 0.0, 0.0])
-    with_stats = True
-    train_step = build_train_step(opt, model_cfg, pipe, tx, interpret=interpret)
+    reg_start = min(opt.distortion_from_iter, opt.depth_normal_from_iter)
+    with_stats = first_iter + 1 <= opt.densify_until_iter
+    with_reg = first_iter + 1 >= reg_start
+
+    def rebuild_step():
+        return build_train_step(opt, model_cfg, pipe, tx, interpret=interpret,
+                                with_stats=with_stats, with_reg=with_reg)
+
+    train_step = rebuild_step()
     densify_fn = jax.jit(
         lambda p, s, o, k, use_size: gm.densify_and_prune(
             p, s, o, k, opt.densify_grad_threshold, 0.05, sc.cameras_extent,
@@ -323,8 +339,11 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
         # compiled out of the backward kernel
         if with_stats and iteration > opt.densify_until_iter:
             with_stats = False
-            train_step = build_train_step(opt, model_cfg, pipe, tx,
-                                          interpret=interpret, with_stats=False)
+            train_step = rebuild_step()
+        # once a regularizer activates, its channels are compiled back in
+        if not with_reg and iteration >= reg_start:
+            with_reg = True
+            train_step = rebuild_step()
         if not stack:
             stack = list(sc.train_cameras)
             random.shuffle(stack)
@@ -364,8 +383,7 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
         if iteration % 10 == 0 or iteration == 1:
             if bool(metrics["key_overflow"]):
                 pipe.key_capacity *= 2
-                train_step = build_train_step(opt, model_cfg, pipe, tx,
-                                              interpret=interpret, with_stats=with_stats)
+                train_step = rebuild_step()
                 if not quiet:
                     print(f"[{iteration}] key capacity grew to {pipe.key_capacity}")
             loss = float(metrics["loss"])

@@ -105,3 +105,20 @@ d6 = t("reduce_per_gaussian (segment_sum)",
 
 tot = d1 + d2 + d5 + d6
 print(f"{'TOTAL (pre+bin+VJP+reduce)':38s} {tot*1e3:8.2f} ms  -> {1/tot:.2f} it/s upper bound")
+
+# with_reg=False variants (pre-15000-iteration training configuration)
+d4b = t("pallas forward kernel (with_reg=False)", lambda p: rp.rasterize_fwd_pallas(
+    p, b, mv, ntx, ntiles, with_reg=False), payload)
+
+meta_off = meta._replace(with_reg=False)
+
+
+def loss_off(r):
+    out = rp.rasterize(meta_off, r, op_eff, pre.v2g_M, pre.v2g_u0, sigma6, bvec,
+                       pre.conic, pre.mean2d, carrier, cam.focal_x, cam.focal_y,
+                       bg, b)
+    return jnp.sum(out[:, :3]) + jnp.sum(out[:, 7])
+
+
+d5b = t("full fwd+bwd (with_reg=False)",
+        lambda r: jax.value_and_grad(loss_off)(r)[1], pre.rgb)

@@ -221,3 +221,52 @@ class TestPallasBackward:
         g = np.asarray(jax.grad(depth_loss)(pre.v2g_u0))
         assert np.abs(g[0]).sum() > 1e-6  # front gaussian gets the gradient
         assert np.abs(g[1]).sum() < 1e-8  # occluded one does not
+
+
+class TestWithRegOff:
+    """with_reg=False: rgb/alpha/T channels unchanged, reg channels compiled
+    out to zeros, and gradients of an rgb+alpha loss identical."""
+
+    def test_forward_channels(self, rng):
+        pre, b, op_eff, bg, cam, meta, ntx, nty = setup(rng)
+        meta_off = meta._replace(with_reg=False)
+        img_on = np.asarray(pallas_image(pre, b, op_eff, bg, cam, meta, ntx, nty))
+        img_off = np.asarray(pallas_image(pre, b, op_eff, bg, cam, meta_off, ntx, nty))
+        # rgb (0:3), alpha (7) and T_final unchanged
+        np.testing.assert_array_equal(img_off[:3], img_on[:3])
+        np.testing.assert_array_equal(img_off[7], img_on[7])
+        np.testing.assert_array_equal(
+            img_off[tiled_ref.CH_TFINAL], img_on[tiled_ref.CH_TFINAL]
+        )
+        # reg channels (normal 3:6, depth 6, distortion 8) render as zeros
+        np.testing.assert_array_equal(img_off[3:6], 0.0)
+        np.testing.assert_array_equal(img_off[6], 0.0)
+        np.testing.assert_array_equal(img_off[8], 0.0)
+        assert np.abs(img_on[3:6]).max() > 0  # the scene does have normals
+
+    def test_rgb_alpha_grads_identical(self, rng):
+        pre, b, op_eff, bg, cam, meta, ntx, nty = setup(rng, n=16, width=64, height=32)
+        key = jax.random.PRNGKey(2)
+        gw = jax.random.normal(key, (3, nty * 32, ntx * 32)) * 0.1
+        ga = jax.random.normal(jax.random.PRNGKey(3), (nty * 32, ntx * 32)) * 0.1
+
+        def loss(m):
+            def f(rgb, op, M, u0):
+                sigma6 = rp.pack_sigma6(M)
+                bvec = jnp.einsum("pji,pj->pi", M, u0)
+                out = rp.rasterize(m, rgb, op, M, u0, sigma6, bvec, pre.conic,
+                                   pre.mean2d, jnp.zeros((rgb.shape[0], 3)),
+                                   cam.focal_x, cam.focal_y, bg, b)
+                img = tiled_ref.assemble_image(out, ntx, nty, ntx * 32, nty * 32)
+                return jnp.sum(img[:3] * gw) + jnp.sum(img[7] * ga)
+
+            return f
+
+        args = (pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0)
+        g_on = jax.grad(loss(meta), argnums=(0, 1, 2, 3))(*args)
+        g_off = jax.grad(loss(meta._replace(with_reg=False)), argnums=(0, 1, 2, 3))(*args)
+        for name, a, c in zip(("rgb", "op", "M", "u0"), g_off, g_on):
+            a, c = np.asarray(a), np.asarray(c)
+            scale = max(np.abs(c).max(), 1e-6)
+            assert np.abs(a - c).max() / scale < 1e-5, name
+            assert np.abs(c).max() > 0, name
