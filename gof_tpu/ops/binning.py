@@ -167,10 +167,13 @@ def bin_gaussians(
         (tile, jnp.where(dup_valid, gid, P)), num_keys=1, is_stable=True
     )
 
-    # 4. per-tile ranges + chunk alignment (few queries -> searchsorted fine)
-    tile_ids = jnp.arange(ntiles, dtype=tile_sorted.dtype)
-    seg_start = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
-    seg_end = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(jnp.int32)
+    # 4. per-tile ranges + chunk alignment. Entries of one tile are contiguous
+    #    after the sort, so end(t) == start(t+1): one searchsorted over
+    #    ntiles+1 integer queries covers both boundaries.
+    tile_ids = jnp.arange(ntiles + 1, dtype=tile_sorted.dtype)
+    bounds = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
+    seg_start = bounds[:-1]
+    seg_end = bounds[1:]
     seg_len = seg_end - seg_start
     chunks = -(-seg_len // CHUNK)  # ceil
     pad_len = chunks * CHUNK
