@@ -25,7 +25,11 @@ def main():
     ap.add_argument("--gaussians", type=int, default=100_000)
     ap.add_argument("--width", type=int, default=1237)
     ap.add_argument("--height", type=int, default=822)
-    ap.add_argument("--capacity", type=int, default=1 << 20)
+    # Capacity matches what the training loop's doubling policy (train.py:
+    # key_capacity 262144 -> x2 on overflow) settles at for this workload:
+    # 484k duplicated keys -> 524288. Binning/gather/reduce costs scale with
+    # this static capacity, not with the live key count.
+    ap.add_argument("--capacity", type=int, default=1 << 19)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -119,6 +123,13 @@ def main():
             means, scales, rots, opac, shs
         )
         print(f"# fwd: {tf*1000:.2f} ms  num_keys={int(nk)}")
+
+    nk_check = int(
+        jax.jit(lambda *a: full_impl(*a, jnp.zeros((n, 3), jnp.float32))[1])(
+            means, scales, rots, opac, shs
+        )
+    )
+    assert nk_check <= CAP, f"keys {nk_check} overflow capacity {CAP}"
 
     dt = timed(step_chain, means, scales, rots, opac, shs)
     iters_per_sec = 1.0 / dt
