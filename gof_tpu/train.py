@@ -382,10 +382,18 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
         # so metrics are only materialized every 10 iterations.
         if iteration % 10 == 0 or iteration == 1:
             if bool(metrics["key_overflow"]):
-                pipe.key_capacity *= 2
+                # Grow to the observed demand (num_keys is the true pre-drop
+                # total) with 30% headroom rather than blind doubling: every
+                # capacity-bound stage (binning expansions/sort/relayout,
+                # payload gather, gradient reduce) scales with this static
+                # size, so overshoot is paid on every subsequent step.
+                need = int(metrics["num_keys"])
+                new_cap = max(int(need * 1.3), int(pipe.key_capacity * 1.25))
+                pipe.key_capacity = -(-new_cap // 65536) * 65536
                 train_step = rebuild_step()
                 if not quiet:
-                    print(f"[{iteration}] key capacity grew to {pipe.key_capacity}")
+                    print(f"[{iteration}] key capacity grew to {pipe.key_capacity}"
+                          f" (demand {need})")
             loss = float(metrics["loss"])
             ema_loss = loss if ema_loss is None else 0.6 * loss + 0.4 * ema_loss
             rec = {
