@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gof_tpu import cameras
 from gof_tpu.ops import binning, oracle, quadrics, tiled_ref
@@ -43,6 +44,7 @@ def brute_force_bins(pre, ntx, nty):
 
 
 class TestBinning:
+    @pytest.mark.slow
     def test_matches_brute_force(self, rng):
         means, scales, rots, opac, shs, cam = make_scene(rng, n=60)
         pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
@@ -120,6 +122,8 @@ class TestBinning:
         b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=16)
         assert bool(b.overflow)
 
+    @pytest.mark.slow
+
     def test_jit_clean(self, rng):
         """bin_gaussians must be jittable with static grid/capacity."""
         means, scales, rots, opac, shs, cam = make_scene(rng, n=20)
@@ -152,6 +156,7 @@ def run_tiled(means, scales, rots, opac, shs, cam, kernel_size, bg):
 
 
 class TestTiledRenderer:
+    @pytest.mark.slow
     def test_matches_oracle_exactly(self, rng):
         means, scales, rots, opac, shs, cam = full_cover_scene(rng)
         bg = jnp.array([0.2, 0.3, 0.4])

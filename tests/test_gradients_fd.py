@@ -8,6 +8,7 @@ depth_to_normal against analytic plane normals.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gof_tpu import cameras
 from gof_tpu.ops import oracle
@@ -16,6 +17,7 @@ from gof_tpu.train import depth_to_normal
 
 
 class TestFiniteDifference:
+    @pytest.mark.slow
     def test_oracle_grads_match_fd(self, rng):
         n = 4
         means = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 0.3

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gof_tpu import cameras
 from gof_tpu.mesh import extract, tetmesh
@@ -80,6 +81,7 @@ def gauss_scene(rng, n=10):
 
 
 class TestIntegrate:
+    @pytest.mark.slow
     def test_pallas_matches_dense(self, rng):
         means, scales, rots, opac = gauss_scene(rng)
         cam = cameras.look_at_camera(eye=(0, 0, 0), target=(0, 0, 5.0), width=64, height=64)
@@ -131,6 +133,7 @@ class TestIntegrate:
 
 
 class TestExtractE2E:
+    @pytest.mark.slow
     def test_mesh_from_known_gaussians(self, rng, tmp_path):
         """Extract a level-set mesh directly from a known Gaussian mixture;
         vertices must lie near the blobs and the field there must be ~0.5."""

@@ -20,6 +20,8 @@ class TestKNN:
         want = np.sort(d, axis=1)[:, :3].mean(1)
         np.testing.assert_allclose(got, want, rtol=1e-4)
 
+    @pytest.mark.slow
+
     def test_morton_overestimates_only(self, rng):
         """The in-jit Morton approximation can only miss neighbors, never
         invent closer ones: got >= exact, and mostly equal."""
@@ -121,6 +123,8 @@ class TestGaussianModel:
             want = float(np.quantile(x[mask], q))
             assert abs(got - want) < 1e-5, (q, got, want)
 
+    @pytest.mark.slow
+
     def test_densify_clone_and_split(self, rng):
         params, state = tiny_model(rng, n=20, cap=128)
         extent = 10.0
@@ -171,6 +175,8 @@ class TestGaussianModel:
         # 20 actives + 1 clone (of #10) - 5 low-opacity pruned = 16
         assert int(gm.num_active(s2)) == 16
         assert int(rep.n_pruned) == 5
+
+    @pytest.mark.slow
 
     def test_pool_overflow_flag(self, rng):
         params, state = tiny_model(rng, n=20, cap=21)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gof_tpu import cameras
 from gof_tpu.constants import ALPHA_OFFSET, DEPTH_OFFSET, DISTORTION_OFFSET
@@ -21,6 +22,7 @@ def single_gaussian_scene(color=(1.0, 0.0, 0.0), z=4.0, scale=0.3):
 
 
 class TestOracle:
+    @pytest.mark.slow
     def test_center_blob(self):
         means, scales, rots, opac, shs, cam = single_gaussian_scene()
         out = oracle.render_oracle(
@@ -98,6 +100,8 @@ class TestOracle:
         d1 = np.asarray(one.image)[DISTORTION_OFFSET, 8, 8]
         d2 = np.asarray(two.image)[DISTORTION_OFFSET, 8, 8]
         assert d2 > d1 + 1e-5
+
+    @pytest.mark.slow
 
     def test_gradients_flow(self):
         """All model tensors receive gradients through the oracle."""

@@ -9,6 +9,7 @@ median routing), and the densification stat carrier.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gof_tpu import cameras
 from gof_tpu.ops import binning, quadrics, tiled_ref
@@ -63,6 +64,7 @@ def xla_image(pre, b, op_eff, bg, cam, ntx, nty):
 
 
 class TestPallasForward:
+    @pytest.mark.slow
     def test_matches_xla_reference(self, rng):
         pre, b, op_eff, bg, cam, meta, ntx, nty = setup(rng)
         img_p = np.asarray(pallas_image(pre, b, op_eff, bg, cam, meta, ntx, nty))
@@ -72,6 +74,8 @@ class TestPallasForward:
         np.testing.assert_allclose(
             img_p[tiled_ref.CH_TFINAL], img_x[tiled_ref.CH_TFINAL], atol=5e-6, rtol=1e-4
         )
+
+    @pytest.mark.slow
 
     def test_multi_chunk_lists(self, rng):
         """>128 gaussians per tile exercise the chunk loop + carry."""
@@ -89,6 +93,7 @@ class TestPallasForward:
 
 
 class TestPallasBackward:
+    @pytest.mark.slow
     def test_grads_match_autodiff(self, rng):
         pre, b, op_eff, bg, cam, meta, ntx, nty = setup(rng, n=16, width=64, height=32)
         key = jax.random.PRNGKey(1)
@@ -121,6 +126,8 @@ class TestPallasBackward:
             a, c = np.asarray(a), np.asarray(c)
             scale = max(np.abs(c).max(), 1e-6)
             assert np.abs(a - c).max() / scale < 1e-4, name
+
+    @pytest.mark.slow
 
     def test_distortion_grad_reference_quirk(self, rng):
         """ch8 cotangent flows ONLY through the mapped depth m (weights and
@@ -175,6 +182,8 @@ class TestPallasBackward:
             scale = max(np.abs(c).max(), 1e-8)
             assert np.abs(a - c).max() / scale < 5e-3, (name, np.abs(a - c).max(), scale)
 
+    @pytest.mark.slow
+
     def test_densify_stats_carrier(self, rng):
         """The carrier cotangent reproduces the reference's pseudo-gradient
         (backward.cu:896-909): |gx|+|gy| channel positive where visible."""
@@ -190,6 +199,8 @@ class TestPallasBackward:
         # abs-channel is a sum of |.| terms: nonnegative, positive for visible
         assert (g[valid, 2] >= 0).all()
         assert g[valid, 2].max() > 0
+
+    @pytest.mark.slow
 
     def test_median_depth_grad_routing(self, rng):
         """Depth-channel gradient reaches exactly the median contributor's
@@ -243,6 +254,8 @@ class TestWithRegOff:
         np.testing.assert_array_equal(img_off[6], 0.0)
         np.testing.assert_array_equal(img_off[8], 0.0)
         assert np.abs(img_on[3:6]).max() > 0  # the scene does have normals
+
+    @pytest.mark.slow
 
     def test_rgb_alpha_grads_identical(self, rng):
         pre, b, op_eff, bg, cam, meta, ntx, nty = setup(rng, n=16, width=64, height=32)

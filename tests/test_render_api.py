@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gof_tpu import cameras
 from gof_tpu.ops import render as render_lib
@@ -25,6 +26,7 @@ def scene(rng, n=16):
 
 
 class TestRenderAPI:
+    @pytest.mark.slow
     def test_backends_agree(self, rng):
         means, scales, rots, opac, shs, cam = scene(rng)
         bg = jnp.array([0.1, 0.2, 0.3])
@@ -35,6 +37,8 @@ class TestRenderAPI:
         np.testing.assert_allclose(np.asarray(out_p.image), np.asarray(out_x.image),
                                    atol=1e-5, rtol=1e-4)
         np.testing.assert_array_equal(np.asarray(out_p.visibility), np.asarray(out_x.visibility))
+
+    @pytest.mark.slow
 
     def test_overflow_reported(self, rng):
         means, scales, rots, opac, shs, cam = scene(rng, n=64)
@@ -50,6 +54,8 @@ class TestRenderAPI:
                                 active_mask=mask, capacity=2048, backend="xla")
         np.testing.assert_allclose(np.asarray(out.image[:3]), 0.0, atol=1e-7)
         assert int(out.num_keys) == 0
+
+    @pytest.mark.slow
 
     def test_opacity_radius_tightening_is_lossless(self, rng):
         """The opacity-aware radius must not change the image beyond the

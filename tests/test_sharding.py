@@ -16,6 +16,7 @@ def mesh8():
 
 
 class TestSharding:
+    @pytest.mark.slow
     def test_dp_train_step_runs(self, mesh8):
         """One camera-batch DP step over 8 devices (the __graft_entry__
         dryrun path): finite loss, params move, grads identical across

@@ -39,6 +39,8 @@ class TestAppearanceNet:
         got = app_lib.pixel_shuffle(jnp.asarray(x.transpose(0, 2, 3, 1)), 2)  # NHWC
         np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want)
 
+    @pytest.mark.slow
+
     def test_appearance_l1_zero_when_identity(self, rng):
         """If the multiplier were exactly 1 the loss equals plain L1; here we
         just check it runs, is finite and differentiable."""
@@ -59,6 +61,7 @@ class TestAppearanceNet:
 
 
 class TestTrainE2E:
+    @pytest.mark.slow
     def test_convergence_xla_backend(self, synth_scene, tmp_path):
         """150 iterations on the synthetic scene must improve PSNR by > 4 dB
         (densification disabled; XLA reference backend on CPU)."""
@@ -82,6 +85,8 @@ class TestTrainE2E:
         ply_path = os.path.join(model_cfg.model_path, "point_cloud", "iteration_100", "point_cloud.ply")
         p, s = scene_lib.load_gaussians_ply(ply_path, 1)
         assert int(np.asarray(s.active).sum()) > 0
+
+    @pytest.mark.slow
 
     def test_pallas_interpret_with_densify(self, synth_scene, tmp_path):
         """Short pallas-backend run (interpret mode) exercising densification,
