@@ -83,7 +83,7 @@ def build_dp_train_step(loss_and_stats_fn: Callable, tx, mesh: Mesh, axis: str =
             mesh=mesh,
             in_specs=(P(), P(), P(axis), P(axis), P()),
             out_specs=(P(), P(), P(), P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         loss, grads, cgrad, radii, visibility = fn(tp, gstate, gts, cameras, it)
         updates, opt_state = tx.update(grads, opt_state, tp)
@@ -112,7 +112,7 @@ def build_scene_parallel_step(single_scene_step: Callable, mesh: Mesh, axis: str
         out_shape = jax.eval_shape(per_device, *stacked)
         out_specs = jax.tree.map(lambda _: P(axis), out_shape)
         fn = shard_map(per_device, mesh=mesh, in_specs=tuple(specs), out_specs=out_specs,
-                       check_rep=False)
+                       check_vma=False)
         return fn(*stacked)
 
     return jax.jit(step)
@@ -132,7 +132,7 @@ def sharded_min_transmittance(eval_fn: Callable, mesh: Mesh, axis: str = "dp"):
         fn = shard_map(
             per_device, mesh=mesh,
             in_specs=(P(axis),) + tuple(P() for _ in model),
-            out_specs=P(axis), check_rep=False,
+            out_specs=P(axis), check_vma=False,
         )
         return fn(points, *model)
 
