@@ -5,19 +5,21 @@ TPU-native replacement for the reference's cub-based binning
 rasterizer_impl.cu:70-171,330-373). Differences by design:
 
 - tiles are 32x32 pixels (TPU (8,128) vector layout), not 16x16 CUDA blocks;
-- the duplicated key list has a *static* capacity. Overflow drops the deepest
-  Gaussians (they are occluded most often) and is reported so the host can
-  re-jit with a larger capacity;
-- instead of sorting (tile << 32 | depth_bits) keys, Gaussians are depth-
-  sorted once (P-sized sort), keys are expanded in depth order by pure
-  gathers (searchsorted), and one stable sort by tile id yields the
-  (tile, depth)-ordered list — same order the reference produces;
-- every tile's segment is padded to a multiple of CHUNK_SIZE so Pallas
-  kernels can move fixed-size blocks with no tail masking, and the padded
-  slots carry opacity 0 (they blend to nothing).
+- the duplicated key list has a *static* capacity. Overflow drops the
+  highest-index Gaussians' surplus keys and is reported so the host can
+  re-jit with a larger capacity (the training loop skips the parameter
+  update on overflow steps, so the drop order is immaterial);
+- keys are expanded by pure delta-scatter+cumsum gathers in original
+  Gaussian order, then one 2-key sort by (tile, depth-bits) carrying the
+  Gaussian id yields the (tile, depth)-ordered list — the same order the
+  reference's radix sort produces (tile << 32 | float_bits(depth),
+  rasterizer_impl.cu:70-111);
+- tile segments are *unaligned*: the blend kernels DMA chunks starting at
+  aligned_down(seg_start) and mask the head/tail entries that belong to
+  neighboring tiles. No per-tile padding, no relayout gather.
 
-Everything is gather/cumsum/sort based — no scatter, no atomics, and the
-result is bit-deterministic run to run.
+Everything is gather/cumsum/sort based — no capacity-sized scatter, no
+atomics, and the result is bit-deterministic run to run.
 """
 
 from __future__ import annotations
@@ -27,14 +29,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..constants import MAX_TILES_PER_GAUSSIAN, TILE_H, TILE_W
+from ..constants import TILE_H, TILE_W
 
 CHUNK_SIZE = 128  # Gaussians per VMEM chunk in the blend kernels
-
-# Per-Gaussian tile rect is clamped to at most 8x8 tiles (= 256x256 px),
-# centered on the projected mean. MAX_TILES_PER_GAUSSIAN = 64.
-MAX_RECT_SIDE = 8
-assert MAX_RECT_SIDE * MAX_RECT_SIDE == MAX_TILES_PER_GAUSSIAN
 
 
 class TileRect(NamedTuple):
@@ -52,8 +49,9 @@ def tile_grid(width: int, height: int):
 
 
 def gaussian_rects(mean2d: jnp.ndarray, radius: jnp.ndarray, valid: jnp.ndarray, ntx: int, nty: int) -> TileRect:
-    """Tile rect per Gaussian (getRect, auxiliary.h:64-74), clamped to the
-    static MAX_RECT_SIDE window centered on the projected mean."""
+    """Tile rect per Gaussian (getRect, auxiliary.h:64-74). Unbounded, as in
+    the reference (forward.cu:363-371): a near-camera Gaussian may cover the
+    whole tile grid; the static key capacity + host growth absorb it."""
     px, py = mean2d[:, 0], mean2d[:, 1]
     x0 = jnp.clip(jnp.floor((px - radius) / TILE_W).astype(jnp.int32), 0, ntx)
     y0 = jnp.clip(jnp.floor((py - radius) / TILE_H).astype(jnp.int32), 0, nty)
@@ -61,42 +59,62 @@ def gaussian_rects(mean2d: jnp.ndarray, radius: jnp.ndarray, valid: jnp.ndarray,
     y1 = jnp.clip(jnp.floor((py + radius + TILE_H - 1) / TILE_H).astype(jnp.int32), 0, nty)
     w = jnp.maximum(x1 - x0, 0)
     h = jnp.maximum(y1 - y0, 0)
-
-    # Clamp giant rects to a MAX_RECT_SIDE window centered on the mean tile.
-    cx = jnp.clip((px / TILE_W).astype(jnp.int32), 0, ntx - 1)
-    cy = jnp.clip((py / TILE_H).astype(jnp.int32), 0, nty - 1)
-    nx0 = jnp.clip(cx - MAX_RECT_SIDE // 2, x0, jnp.maximum(x1 - MAX_RECT_SIDE, x0))
-    ny0 = jnp.clip(cy - MAX_RECT_SIDE // 2, y0, jnp.maximum(y1 - MAX_RECT_SIDE, y0))
-    x0 = jnp.where(w > MAX_RECT_SIDE, nx0, x0)
-    y0 = jnp.where(h > MAX_RECT_SIDE, ny0, y0)
-    w = jnp.minimum(w, MAX_RECT_SIDE)
-    h = jnp.minimum(h, MAX_RECT_SIDE)
-
     w = jnp.where(valid, w, 0)
     h = jnp.where(valid, h, 0)
     return TileRect(x0=x0, y0=y0, w=w, h=h)
 
 
 class Binning(NamedTuple):
-    """Static-capacity tile-binned Gaussian list.
+    """Static-capacity (tile, depth)-sorted duplicated Gaussian list.
 
     All arrays are jit-stable shapes; `slot_to_gaussian` indexes into the
     original (unsorted) Gaussian arrays. Slots not backed by a real
-    (Gaussian, tile) pair have `slot_valid == False` and gaussian id P
-    (one-past-the-end, for padded gathers).
+    (Gaussian, tile) pair hold gaussian id P (one-past-the-end, for padded
+    gathers) and sort to the end (sentinel tile), outside every segment.
     """
 
-    slot_to_gaussian: jnp.ndarray  # [CAP_PAD] int32, == P for padding
-    slot_valid: jnp.ndarray  # [CAP_PAD] bool
-    tile_start: jnp.ndarray  # [NTILES] int32 chunk-aligned segment starts
-    tile_chunks: jnp.ndarray  # [NTILES] int32 number of CHUNK_SIZE chunks
-    # mapping back to the depth-ordered duplication layout, for the
-    # deterministic per-Gaussian gradient reduction:
-    dup_offsets: jnp.ndarray  # [P+1] int32 exclusive duplication offsets (depth order)
-    depth_order: jnp.ndarray  # [P] int32 Gaussian ids sorted by depth
-    slot_from_dup: jnp.ndarray  # [CAP] int32: final slot of each depth-order dup entry
+    slot_to_gaussian: jnp.ndarray  # [CAP] int32, == P for padding
+    bounds: jnp.ndarray  # [NTILES+1] int32: tile t owns slots [b[t], b[t+1])
+    dup_offsets: jnp.ndarray  # [P+1] int32 exclusive dup offsets (original order)
     num_keys: jnp.ndarray  # scalar int32: real duplicated keys (pre-drop)
-    overflow: jnp.ndarray  # scalar bool: capacity exceeded (deepest dropped)
+    overflow: jnp.ndarray  # scalar bool: capacity exceeded (surplus dropped)
+
+
+def _expand(values: jnp.ndarray, starts: jnp.ndarray, in_cap: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Expand per-segment int32 constants to per-slot values.
+
+    Segment i covers slots [starts[i], starts[i+1]); values repeat across
+    each segment. Implemented as delta[starts[i]] += v[i] - v[i-1]; cumsum.
+    Empty segments (duplicate starts) telescope correctly through the
+    scatter-add. Cost: one small scatter (len(values) rows) + one cumsum.
+    """
+    v = values.astype(jnp.int32)
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), v[:-1]])
+    delta = jnp.where(in_cap, v - prev, 0)
+    d = jnp.zeros((capacity,), jnp.int32).at[starts].add(delta, mode="drop")
+    return jnp.cumsum(d)
+
+
+def _bounds_by_bisection(sorted_keys: jnp.ndarray, nseg: int) -> jnp.ndarray:
+    """searchsorted(sorted_keys, arange(nseg+1), side='left') via an explicit
+    bisection loop: log2(CAP) iterations of one [nseg+1]-element gather each
+    (XLA's searchsorted lowers to a full-length scan here — measured 4.7 ms
+    at 1M keys vs <0.5 ms for this)."""
+    n = sorted_keys.shape[0]
+    q = jnp.arange(nseg + 1, dtype=sorted_keys.dtype)
+    lo = jnp.zeros((nseg + 1,), jnp.int32)  # invariant: keys[lo-1] < q
+    hi = jnp.full((nseg + 1,), n, jnp.int32)  # invariant: keys[hi] >= q
+    steps = n.bit_length() + 1  # interval [0, n] needs ceil(log2(n+1)) halvings
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) >> 1
+        v = sorted_keys[jnp.clip(mid, 0, n - 1)]
+        go_right = v < q
+        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return hi.astype(jnp.int32)
 
 
 def bin_gaussians(
@@ -105,136 +123,63 @@ def bin_gaussians(
     ntx: int,
     nty: int,
     capacity: int,
-    chunk_size: int = CHUNK_SIZE,
-    with_dup_mapping: bool = False,
 ) -> Binning:
     """Build the (tile, depth)-ordered duplicated Gaussian list.
 
     Args:
-      depth: [P] view-space depths (invalid Gaussians may hold anything;
-        rects.w/h are 0 for them).
-      capacity: static maximum number of duplicated keys (pre-padding).
-      chunk_size: per-tile segment alignment (kernel DMA block length).
-      with_dup_mapping: also compute slot_from_dup (tests/tools only).
+      depth: [P] view-space depths (> 0 for valid Gaussians; invalid
+        Gaussians have rects.w/h == 0 and may hold anything).
+      capacity: static maximum number of duplicated keys (multiple of 128).
     """
-    CHUNK = chunk_size
+    # Kernels DMA whole CHUNK_SIZE-aligned windows; round the slot array up.
+    capacity = -(-capacity // CHUNK_SIZE) * CHUNK_SIZE
     P = depth.shape[0]
     ntiles = ntx * nty
-    counts = rects.w * rects.h  # [P]
+    counts = (rects.w * rects.h).astype(jnp.int32)  # [P]
 
-    # Cost model on TPU (measured): searchsorted(method='scan') over 1M
-    # queries ~128ms, element gathers ~7ms each, multi-operand lax.sort
-    # ~1.6ms, scatter-at-offsets + cumsum ~1.2ms. So every monotone per-slot
-    # expansion below is a delta-scatter + cumsum, and the tile sort carries
-    # its values instead of gathering through an argsort permutation.
-
-    # 1. depth order (invalid = count 0 pushed back with +inf)
-    sort_depth = jnp.where(counts > 0, depth, jnp.inf)
-    order = jnp.argsort(sort_depth)  # [P] gaussian ids, near to far
-    cnt_o = counts[order]
-    off_o = jnp.concatenate([jnp.zeros((1,), cnt_o.dtype), jnp.cumsum(cnt_o)])  # [P+1]
-    num_keys = off_o[-1]
+    # 1. duplication offsets in original Gaussian order
+    off = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])  # [P+1]
+    num_keys = off[-1]
     overflow = num_keys > capacity
+    starts = jnp.clip(off[:-1], 0, capacity - 1).astype(jnp.int32)
+    in_cap = off[:-1] < capacity
 
-    # 2. expand per-Gaussian values to dup slots. A value v (constant over
-    #    each Gaussian's span, in depth order) expands via
-    #    delta[off[i]] += v[i] - v[i-1]; cumsum. Duplicate offsets (cnt==0
-    #    Gaussians) telescope correctly through the scatter-add.
-    off_clip = jnp.clip(off_o[:-1], 0, capacity - 1).astype(jnp.int32)
-    in_cap = off_o[:-1] < capacity
-
-    def expand(v):
-        v = v.astype(jnp.int32)
-        prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), v[:-1]])
-        delta = jnp.where(in_cap, v - prev, 0)
-        d = jnp.zeros((capacity,), jnp.int32).at[off_clip].add(delta, mode="drop")
-        return jnp.cumsum(d)
-
+    # 2. expand per-Gaussian values to dup slots (delta-scatter + cumsum)
     k = jnp.arange(capacity, dtype=jnp.int32)
     dup_valid = k < num_keys
-    off_exp = expand(off_o[:-1])
-    gid = expand(order)
-    rw = jnp.maximum(expand(rects.w[order]), 1)
-    x0e = expand(rects.x0[order])
-    y0e = expand(rects.y0[order])
+    off_exp = _expand(off[:-1], starts, in_cap, capacity)
+    gid = _expand(jnp.arange(P, dtype=jnp.int32), starts, in_cap, capacity)
+    rw = jnp.maximum(_expand(rects.w, starts, in_cap, capacity), 1)
+    x0e = _expand(rects.x0, starts, in_cap, capacity)
+    y0e = _expand(rects.y0, starts, in_cap, capacity)
     j = k - off_exp
     tile = (y0e + j // rw) * ntx + x0e + j % rw  # [CAP]
     tile = jnp.where(dup_valid, tile, ntiles)  # sentinel sorts last
 
-    # 3. stable sort by tile carrying the gaussian ids (values ride the sort;
-    #    lax.sort is stable, so depth order is preserved within a tile)
-    tile_sorted, gauss_sorted = jax.lax.sort(
-        (tile, jnp.where(dup_valid, gid, P)), num_keys=1, is_stable=True
+    # depth sort bits: view depths are > 0, so the f32 bit pattern is
+    # order-preserving as int32 (the reference packs the same float bits
+    # into its radix key, rasterizer_impl.cu:102)
+    depth_bits = _expand(
+        jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32),
+        starts, in_cap, capacity,
     )
 
-    # 4. per-tile ranges + chunk alignment. Entries of one tile are contiguous
-    #    after the sort, so end(t) == start(t+1): one searchsorted over
-    #    ntiles+1 integer queries covers both boundaries.
-    tile_ids = jnp.arange(ntiles + 1, dtype=tile_sorted.dtype)
-    bounds = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
-    seg_start = bounds[:-1]
-    seg_end = bounds[1:]
-    seg_len = seg_end - seg_start
-    chunks = -(-seg_len // CHUNK)  # ceil
-    pad_len = chunks * CHUNK
-    pad_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_len).astype(jnp.int32)]
-    )  # [NTILES+1]
+    # 3. one sort by (tile, depth) carrying the gaussian ids
+    tile_sorted, _, gauss_sorted = jax.lax.sort(
+        (tile, depth_bits, jnp.where(dup_valid, gid, P)), num_keys=2, is_stable=False
+    )
 
-    cap_pad = capacity + ntiles * (CHUNK - 1)
-    cap_pad = -(-cap_pad // CHUNK) * CHUNK
-    # 5. scatter-free relayout into the chunk-aligned slots: final slot f in
-    #    tile t holds sorted entry seg_start[t] + (f - pad_start[t]) while
-    #    that is within the segment. t_of_f / per-slot tile constants expand
-    #    with the same delta-cumsum trick (tiles are "gaussians" here).
-    f = jnp.arange(cap_pad, dtype=jnp.int32)
-    pstart_clip = jnp.clip(pad_start[:-1], 0, cap_pad - 1)
-
-    def expand_pad(v):
-        v = v.astype(jnp.int32)
-        prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), v[:-1]])
-        d = jnp.zeros((cap_pad,), jnp.int32).at[pstart_clip].add(v - prev, mode="drop")
-        return jnp.cumsum(d)
-
-    seg_start_f = expand_pad(seg_start)
-    pad_start_f = expand_pad(pad_start[:-1])
-    seg_len_f = expand_pad(seg_len)
-    local = f - pad_start_f
-    src = seg_start_f + local
-    in_seg = (local < seg_len_f) & (local >= 0)
-    src = jnp.clip(src, 0, capacity - 1)
-    slot_to_gaussian = jnp.where(in_seg, gauss_sorted[src], P)
-    slot_valid = in_seg & (slot_to_gaussian < P)
-
-    if with_dup_mapping:
-        # dup entry d -> its final chunk-aligned slot (used only by tests and
-        # tools; the gradient reduction uses segment_sum over
-        # slot_to_gaussian and does not need this inverse).
-        perm = jnp.argsort(tile, stable=True)
-        inv_perm = jnp.zeros((capacity,), jnp.int32).at[perm].set(
-            jnp.arange(capacity, dtype=jnp.int32), unique_indices=True
-        )
-        t_of_s = jnp.clip(tile, 0, ntiles - 1)
-        slot_from_dup = pad_start[t_of_s] + (inv_perm - seg_start[t_of_s])
-    else:
-        slot_from_dup = jnp.zeros((capacity,), jnp.int32)
+    # 4. per-tile segment bounds. Entries of one tile are contiguous after
+    #    the sort, so end(t) == start(t+1).
+    bounds = _bounds_by_bisection(tile_sorted, ntiles)
 
     return Binning(
-        slot_to_gaussian=slot_to_gaussian,
-        slot_valid=slot_valid,
-        tile_start=pad_start[:-1],
-        tile_chunks=chunks,
-        dup_offsets=off_o.astype(jnp.int32),
-        depth_order=order.astype(jnp.int32),
-        slot_from_dup=slot_from_dup,
+        slot_to_gaussian=gauss_sorted,
+        bounds=bounds,
+        dup_offsets=off.astype(jnp.int32),
         num_keys=num_keys.astype(jnp.int32),
         overflow=overflow,
     )
-
-
-def padded_capacity(capacity: int, ntiles: int) -> int:
-    cap_pad = capacity + ntiles * (CHUNK_SIZE - 1)
-    return -(-cap_pad // CHUNK_SIZE) * CHUNK_SIZE
 
 
 def reduce_per_gaussian(
@@ -243,24 +188,88 @@ def reduce_per_gaussian(
     """Deterministically reduce per-slot gradients to per-Gaussian gradients.
 
     Replaces the reference's atomicAdd gradient accumulation
-    (backward.cu:824-952). Each Gaussian's duplicated entries are contiguous
-    in the depth-order layout with at most MAX_TILES_PER_GAUSSIAN of them
-    (gaussian_rects clamps the rect), so the reduction is a fixed-width
-    masked windowed gather-sum — bit-deterministic, no scatter-adds, and far
-    cheaper than a capacity-length cumsum.
+    (backward.cu:824-952) with XLA's segment-sum (sorted scatter-add) — the
+    fastest deterministic reduction measured (~20 ns/row); slot ids for
+    padded slots are P (one-past-the-end) and fall into the dropped tail.
 
     Args:
-      dslot: [CAP_PAD, D] per-slot gradient rows.
+      dslot: [CAP, D] per-slot gradient rows.
     Returns:
       [P, D] per-Gaussian sums (original Gaussian indexing).
     """
-    import jax
-
-    # XLA's segment-sum (sorted scatter-add) is the fastest deterministic
-    # reduction here: ~3x cheaper than gathering rows back into the
-    # contiguous dup layout (TPU row gathers cost ~60ns/row). slot ids for
-    # padded slots are P (one-past-the-end) and fall into the dropped tail.
     sums = jax.ops.segment_sum(
         dslot, binning.slot_to_gaussian, num_segments=num_gaussians + 1
     )
     return sums[:num_gaussians]
+
+
+# ---------------------------------------------------------------------------
+# Block-aligned relayout (point-integration path only)
+# ---------------------------------------------------------------------------
+
+
+class AlignedBins(NamedTuple):
+    """Per-tile lists padded to `block`-aligned segments (the round-1 layout,
+    kept for the point side of the integrate kernel where each tile's query
+    points fill whole 1024-lane blocks)."""
+
+    slot_to_item: jnp.ndarray  # [CAP_PAD] int32, == N for padding
+    tile_start: jnp.ndarray  # [NTILES] int32 block-aligned segment starts
+    tile_blocks: jnp.ndarray  # [NTILES] int32 number of blocks
+    num_keys: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def aligned_capacity(capacity: int, ntiles: int, block: int) -> int:
+    cap_pad = capacity + ntiles * (block - 1)
+    return -(-cap_pad // block) * block
+
+
+def bin_items_aligned(
+    tile_of_item: jnp.ndarray,  # [N] int32 tile id (ntiles = invalid)
+    ntiles: int,
+    capacity: int,
+    block: int,
+) -> AlignedBins:
+    """Bin items that each touch exactly one tile into block-padded segments."""
+    N = tile_of_item.shape[0]
+    k = jnp.arange(capacity, dtype=jnp.int32)
+    if capacity < N:
+        raise ValueError("capacity must cover all items (one tile per item)")
+    tile = jnp.full((capacity,), ntiles, jnp.int32).at[:N].set(tile_of_item)
+    item = jnp.full((capacity,), N, jnp.int32).at[:N].set(
+        jnp.arange(N, dtype=jnp.int32)
+    )
+    valid = tile < ntiles
+    num_keys = jnp.sum(valid.astype(jnp.int32))
+    tile_sorted, item_sorted = jax.lax.sort(
+        (tile, jnp.where(valid, item, N)), num_keys=1, is_stable=True
+    )
+    bounds = _bounds_by_bisection(tile_sorted, ntiles)
+    seg_start = bounds[:-1]
+    seg_len = bounds[1:] - seg_start
+    blocks = -(-seg_len // block)
+    pad_len = blocks * block
+    pad_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pad_len).astype(jnp.int32)]
+    )
+
+    cap_pad = aligned_capacity(capacity, ntiles, block)
+    f = jnp.arange(cap_pad, dtype=jnp.int32)
+    pstart_clip = jnp.clip(pad_start[:-1], 0, cap_pad - 1)
+    in_cap = jnp.ones((ntiles,), bool)
+    seg_start_f = _expand(seg_start, pstart_clip, in_cap, cap_pad)
+    pad_start_f = _expand(pad_start[:-1], pstart_clip, in_cap, cap_pad)
+    seg_len_f = _expand(seg_len, pstart_clip, in_cap, cap_pad)
+    local = f - pad_start_f
+    src = jnp.clip(seg_start_f + local, 0, capacity - 1)
+    in_seg = (local < seg_len_f) & (local >= 0)
+    slot_to_item = jnp.where(in_seg, item_sorted[src], N)
+
+    return AlignedBins(
+        slot_to_item=slot_to_item,
+        tile_start=pad_start[:-1],
+        tile_blocks=blocks,
+        num_keys=num_keys,
+        overflow=jnp.asarray(False),
+    )

@@ -21,8 +21,9 @@ differences are bounded by the 1/255 cutoff). We keep the t_peak > NEAR_PLANE
 pruning that pass 1 applies.
 
 The kernel reuses the rasterizer's layout: query points are binned to tiles
-in 1024-slot blocks (the lane dimension), Gaussians stream through the same
-chunk-aligned payload, and the per-chunk linear algebra rides the MXU.
+in 1024-lane blocks, Gaussians stream through the same (tile, depth)-sorted
+payload with unaligned segments (head/tail masking), and the per-chunk
+linear algebra rides the MXU.
 """
 
 from __future__ import annotations
@@ -36,17 +37,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import ALPHA_MAX, ALPHA_MIN, NEAR_PLANE, TILE_H, TILE_W
 from . import binning as binning_lib
-from .binning import CHUNK_SIZE, Binning
+from .binning import CHUNK_SIZE, AlignedBins, Binning
 from .rasterize_pallas import P_COLS, _chunk_geometry, _cumprod_incl, _transpose_mxu
 
 PBLOCK = 1024  # query points per kernel block (lane dimension)
 
 
 class PointBins(NamedTuple):
-    binning: Binning  # point binning (chunk_size = PBLOCK)
+    bins: AlignedBins  # point binning (block = PBLOCK)
     n_blocks: int  # static block-count bound
-    block_tile: jnp.ndarray  # [B] tile id per block (ntiles = sentinel)
+    block_tile: jnp.ndarray  # [B] tile id per block (padding blocks hold 0)
     block_ofs: jnp.ndarray  # [B] block index into the padded point slots
+    block_real: jnp.ndarray  # [B] bool: block is backed by real points
     rx: jnp.ndarray  # [PCAP_PAD] per-slot ray slopes / depth / valid
     ry: jnp.ndarray
     depth: jnp.ndarray
@@ -71,60 +73,60 @@ def bin_points(points: jnp.ndarray, camera, ntx: int, nty: int, capacity: int) -
     inside = (px >= 0) & (px < camera.width) & (py >= 0) & (py < camera.height)
     valid = valid & inside
 
+    ntiles = ntx * nty
     tx = jnp.clip((px / TILE_W).astype(jnp.int32), 0, ntx - 1)
     ty = jnp.clip((py / TILE_H).astype(jnp.int32), 0, nty - 1)
-    rects = binning_lib.TileRect(
-        x0=tx, y0=ty,
-        w=jnp.where(valid, 1, 0).astype(jnp.int32),
-        h=jnp.ones((N,), jnp.int32),
-    )
-    b = binning_lib.bin_gaussians(z, rects, ntx, nty, capacity, chunk_size=PBLOCK)
+    tile_of_point = jnp.where(valid, ty * ntx + tx, ntiles)
+    b = binning_lib.bin_items_aligned(tile_of_point, ntiles, capacity, block=PBLOCK)
 
     # per-slot point data (zero rows for padding; point index N for padding)
     def gather(x, fill=0.0):
         ext = jnp.concatenate([x, jnp.full((1,), fill, x.dtype)])
-        return ext[jnp.minimum(b.slot_to_gaussian, N)]
+        return ext[jnp.minimum(b.slot_to_item, N)]
 
-    ntiles = ntx * nty
     blocks_cum = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(b.tile_chunks).astype(jnp.int32)]
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(b.tile_blocks).astype(jnp.int32)]
     )
     n_blocks = capacity // PBLOCK + ntiles
     bid = jnp.arange(n_blocks, dtype=jnp.int32)
     t_of_b = jnp.searchsorted(blocks_cum, bid, side="right").astype(jnp.int32) - 1
     t_of_b = jnp.clip(t_of_b, 0, ntiles - 1)
     real = bid < blocks_cum[-1]
-    block_tile = jnp.where(real, t_of_b, ntiles)
+    block_tile = jnp.where(real, t_of_b, 0)
     # tile_start is the padded start in slots; convert to PBLOCK units
     block_ofs = jnp.where(real, b.tile_start[t_of_b] // PBLOCK + (bid - blocks_cum[t_of_b]), 0)
 
     return PointBins(
-        binning=b,
+        bins=b,
         n_blocks=int(n_blocks),
         block_tile=block_tile,
         block_ofs=block_ofs.astype(jnp.int32),
+        block_real=real,
         rx=gather(rx),
         ry=gather(ry),
         depth=gather(z),
-        point_of_slot=jnp.minimum(b.slot_to_gaussian, N),
+        point_of_slot=jnp.minimum(b.slot_to_item, N),
     )
 
 
-def _integrate_kernel(block_tile_ref, block_ofs_ref, gstart_ref, gchunks_ref,
+def _integrate_kernel(block_ofs_ref, bseg_s_ref, bseg_e_ref,
                       prays_ref, payload_hbm, out_ref, pbuf, sem):
+    del block_ofs_ref  # consumed by the prays index map
     bid = pl.program_id(0)
-    t_id = block_tile_ref[bid]
-    nc = gchunks_ref[t_id]
-    start = pl.multiple_of(gstart_ref[t_id], CHUNK_SIZE)
+    seg_s = bseg_s_ref[bid]
+    seg_e = bseg_e_ref[bid]
+    base = pl.multiple_of((seg_s // CHUNK_SIZE) * CHUNK_SIZE, CHUNK_SIZE)
+    nc = jnp.where(seg_e > seg_s, (seg_e - base + CHUNK_SIZE - 1) // CHUNK_SIZE, 0)
 
     rx = prays_ref[0:1, :]
     ry = prays_ref[1:2, :]
     depth = prays_ref[2:3, :]
     R3 = jnp.concatenate([rx, ry, jnp.ones_like(rx)], axis=0)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_SIZE, 1), 0)
 
     def copy_in(c, slot):
         return pltpu.make_async_copy(
-            payload_hbm.at[:, pl.ds(start + c * CHUNK_SIZE, CHUNK_SIZE)],
+            payload_hbm.at[:, pl.ds(base + c * CHUNK_SIZE, CHUNK_SIZE)],
             pbuf.at[slot],
             sem.at[slot],
         )
@@ -142,6 +144,8 @@ def _integrate_kernel(block_tile_ref, block_ofs_ref, gstart_ref, gchunks_ref,
 
         copy_in(c, slot).wait()
         p = _transpose_mxu(pbuf[slot])  # [CHUNK, 32]
+        grow = base + c * CHUNK_SIZE + row_i
+        seg_mask = (grow >= seg_s) & (grow < seg_e)
         d0, d1, d2, _, _, _, _, _, t = _chunk_geometry(p, rx, ry, R3)
         # clamp the evaluation depth to the query point (forward.cu:1173-1176)
         t_star = jnp.minimum(t, depth)
@@ -151,7 +155,7 @@ def _integrate_kernel(block_tile_ref, block_ofs_ref, gstart_ref, gchunks_ref,
         mv = v0 * v0 + v1 * v1 + v2 * v2
         a = jnp.minimum(ALPHA_MAX, p[:, 3:4] * jnp.exp(-0.5 * mv))
         # pass-1 pruning kept: peak must be in front of the near plane
-        a = jnp.where((t > NEAR_PLANE) & (a >= ALPHA_MIN), a, 0.0)
+        a = jnp.where((t > NEAR_PLANE) & (a >= ALPHA_MIN) & seg_mask, a, 0.0)
         prod = _cumprod_incl(1.0 - a)
         return T * prod[CHUNK_SIZE - 1 : CHUNK_SIZE]
 
@@ -163,7 +167,7 @@ def _integrate_kernel(block_tile_ref, block_ofs_ref, gstart_ref, gchunks_ref,
 
 
 def integrate_transmittance_pallas(
-    payload: jnp.ndarray,  # [32, CAP_PAD] gaussian payload (rasterizer layout)
+    payload: jnp.ndarray,  # [32, CAP] gaussian payload (rasterizer layout)
     gauss_bins: Binning,
     pbins: PointBins,
     n_points: int,
@@ -175,17 +179,20 @@ def integrate_transmittance_pallas(
     prays = jnp.concatenate([prays, pad], axis=0)  # [8, PCAP_PAD] for tiling
 
     B = pbins.n_blocks
+    # per-block gaussian segment bounds (padding blocks get an empty segment)
+    bseg_s = jnp.where(pbins.block_real, gauss_bins.bounds[pbins.block_tile], 0)
+    bseg_e = jnp.where(pbins.block_real, gauss_bins.bounds[pbins.block_tile + 1], 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(B,),
         in_specs=[
             pl.BlockSpec(
                 (8, PBLOCK),
-                lambda b, bt, bo, gs, gc: (0, bo[b]),
+                lambda b, bo, bs, be: (0, bo[b]),
             ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 8, PBLOCK), lambda b, bt, bo, gs, gc: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, 8, PBLOCK), lambda b, bo, bs, be: (b, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -196,18 +203,20 @@ def integrate_transmittance_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 8, PBLOCK), jnp.float32),
         interpret=interpret,
-    )(pbins.block_tile, pbins.block_ofs, gauss_bins.tile_start, gauss_bins.tile_chunks,
+    )(pbins.block_ofs, bseg_s.astype(jnp.int32), bseg_e.astype(jnp.int32),
       prays, payload)[:, 0, :]
 
     # scatter back to point order: slot s (block b, lane l) holds point
-    # point_of_slot[block_ofs[b]*PBLOCK + l]
+    # point_of_slot[block_ofs[b]*PBLOCK + l]; padding blocks are dropped.
     flat_slots = (pbins.block_ofs[:, None] * PBLOCK
                   + jnp.arange(PBLOCK, dtype=jnp.int32)[None, :]).reshape(-1)
+    in_arr = flat_slots < pbins.point_of_slot.shape[0]
     pid = pbins.point_of_slot[jnp.clip(flat_slots, 0, pbins.point_of_slot.shape[0] - 1)]
+    keep = jnp.broadcast_to(pbins.block_real[:, None], (B, PBLOCK)).reshape(-1) & in_arr
+    pid = jnp.where(keep, pid, n_points)
     Tvals = out.reshape(-1)
     result = jnp.ones((n_points + 1,), jnp.float32)
-    result = result.at[pid].set(jnp.where(flat_slots < pbins.point_of_slot.shape[0], Tvals, 1.0),
-                                mode="drop")
+    result = result.at[pid].set(jnp.where(keep, Tvals, 1.0), mode="drop")
     return result[:n_points]
 
 

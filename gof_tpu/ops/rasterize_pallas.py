@@ -83,11 +83,12 @@ def pack_sigma6(M: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_payload32(rgb, op_eff, M, u0, sigma6, bvec, conic, mean2d, binning: Binning) -> jnp.ndarray:
-    """Gather per-Gaussian rows into the chunk-aligned visit-slot layout.
+    """Gather per-Gaussian rows into the (tile, depth)-sorted slot layout.
 
-    Invalid slots gather the appended zero row (opacity 0 -> no contribution).
-    Returned TRANSPOSED, [32, CAP_PAD]: HBM DMA slices must be 128-aligned in
-    the lane (last) dimension, and chunk starts are CHUNK_SIZE-aligned.
+    Sentinel slots gather the appended zero row (opacity 0 -> no
+    contribution). Returned TRANSPOSED, [32, CAP]: HBM DMA slices must be
+    128-aligned in the lane (last) dimension; the kernels read whole
+    CHUNK_SIZE-aligned windows and mask entries outside each tile's segment.
     """
     P = rgb.shape[0]
     flat = jnp.concatenate(
@@ -201,8 +202,13 @@ def _chunk_geometry(p, rx, ry, R3):
     return d0, d1, d2, n0, n1, n2, ud, dd, t
 
 
-def _chunk_terms(p, rx, ry, R3, need_normals=True):
-    """Per-pair blend quantities for one [CHUNK, 32] payload block."""
+def _chunk_terms(p, rx, ry, R3, need_normals=True, seg_mask=None):
+    """Per-pair blend quantities for one [CHUNK, 32] payload block.
+
+    seg_mask: [CHUNK, 1] bool — False for rows belonging to a neighboring
+    tile's segment (unaligned head/tail of the DMA window); they blend and
+    backpropagate as exact zeros.
+    """
     d0, d1, d2, n0, n1, n2, ud, dd, t = _chunk_geometry(p, rx, ry, R3)
     u0x, u0y, u0z = p[:, 13:14], p[:, 14:15], p[:, 15:16]
     v0 = u0x + t * d0
@@ -213,6 +219,8 @@ def _chunk_terms(p, rx, ry, R3, need_normals=True):
     op = p[:, 3:4]
     a_raw = jnp.minimum(ALPHA_MAX, op * E)
     active = (t > NEAR_PLANE) & (a_raw >= ALPHA_MIN)
+    if seg_mask is not None:
+        active = active & seg_mask
     a = jnp.where(active, a_raw, 0.0)
     inv_len = (
         jax.lax.rsqrt(n0 * n0 + n1 * n1 + n2 * n2 + 1e-7) if need_normals else None
@@ -253,17 +261,21 @@ def _rays_for_tile(tile_id, ntx, meta):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(ntx: int, with_reg: bool, starts_ref, nchunks_ref, meta_ref,
+def _fwd_kernel(ntx: int, with_reg: bool, bounds_ref, meta_ref,
                 payload_hbm, out_ref, pbuf, sem):
     t_id = pl.program_id(0)
-    start = pl.multiple_of(starts_ref[t_id], CHUNK_SIZE)
-    nc = nchunks_ref[t_id]
+    seg_s = bounds_ref[t_id]
+    seg_e = bounds_ref[t_id + 1]
+    # DMA windows are CHUNK-aligned; head/tail rows outside [seg_s, seg_e)
+    # belong to neighboring tiles and are masked off.
+    base = pl.multiple_of((seg_s // CHUNK_SIZE) * CHUNK_SIZE, CHUNK_SIZE)
+    nc = jnp.where(seg_e > seg_s, (seg_e - base + CHUNK_SIZE - 1) // CHUNK_SIZE, 0)
     rx, ry, R3, _, _ = _rays_for_tile(t_id, ntx, meta_ref)
     bg0, bg1, bg2 = meta_ref[0, 2], meta_ref[0, 3], meta_ref[0, 4]
 
     def copy_in(c, slot):
         return pltpu.make_async_copy(
-            payload_hbm.at[:, pl.ds(start + c * CHUNK_SIZE, CHUNK_SIZE)],
+            payload_hbm.at[:, pl.ds(base + c * CHUNK_SIZE, CHUNK_SIZE)],
             pbuf.at[slot],
             sem.at[slot],
         )
@@ -300,7 +312,9 @@ def _fwd_kernel(ntx: int, with_reg: bool, starts_ref, nchunks_ref, meta_ref,
         copy_in(c, slot).wait()
         p = _transpose_mxu(pbuf[slot])  # [32, CHUNK] -> [CHUNK, 32]
 
-        f = _chunk_terms(p, rx, ry, R3, need_normals=with_reg)
+        grow = base + c * CHUNK_SIZE + row_i
+        seg_mask = (grow >= seg_s) & (grow < seg_e)
+        f = _chunk_terms(p, rx, ry, R3, need_normals=with_reg, seg_mask=seg_mask)
         T_excl = T * _shift_down(f.prod_incl, 1, 1.0)
         w = f.a * T_excl * (T_excl > TRANSMITTANCE_EPS)
 
@@ -367,13 +381,13 @@ def rasterize_fwd_pallas(payload, binning: Binning, meta_vec, ntx: int, ntiles: 
                          interpret=False, with_reg=True):
     """Run the forward blend kernel. Returns [NTILES, 16, 1024]."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda t, s, n: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda t, s: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, OUT_CH, NPIX), lambda t, s, n: (t, 0, 0)),
+        out_specs=pl.BlockSpec((1, OUT_CH, NPIX), lambda t, s: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -384,7 +398,7 @@ def rasterize_fwd_pallas(payload, binning: Binning, meta_vec, ntx: int, ntiles: 
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ntiles, OUT_CH, NPIX), jnp.float32),
         interpret=interpret,
-    )(binning.tile_start, binning.tile_chunks, meta_vec, payload)
+    )(binning.bounds, meta_vec, payload)
 
 
 # ---------------------------------------------------------------------------
@@ -394,13 +408,15 @@ def rasterize_fwd_pallas(payload, binning: Binning, meta_vec, ntx: int, ntiles: 
 
 def _bwd_kernel(
     ntx: int, halfw: float, halfh: float, with_stats: bool, with_reg: bool,
-    starts_ref, nchunks_ref, meta_ref, payload_hbm, fout_ref, gout_ref,
-    dslot_init_hbm, dslot_hbm, dbuf, pbuf, sem, wsem,
+    bounds_ref, meta_ref, payload_hbm, fout_ref, gout_ref,
+    dslot_init_hbm, dslot_hbm, dbuf, pbuf, rbuf, sem, wsem, rsem,
 ):
     del dslot_init_hbm  # aliased with dslot_hbm; provides the zero background
     t_id = pl.program_id(0)
-    start = pl.multiple_of(starts_ref[t_id], CHUNK_SIZE)
-    nc = nchunks_ref[t_id]
+    seg_s = bounds_ref[t_id]
+    seg_e = bounds_ref[t_id + 1]
+    base = pl.multiple_of((seg_s // CHUNK_SIZE) * CHUNK_SIZE, CHUNK_SIZE)
+    nc = jnp.where(seg_e > seg_s, (seg_e - base + CHUNK_SIZE - 1) // CHUNK_SIZE, 0)
     rx, ry, R3, px, py = _rays_for_tile(t_id, ntx, meta_ref)
     bg0, bg1, bg2 = meta_ref[0, 2], meta_ref[0, 3], meta_ref[0, 4]
 
@@ -433,7 +449,7 @@ def _bwd_kernel(
 
     def copy_in(c, slot):
         return pltpu.make_async_copy(
-            payload_hbm.at[:, pl.ds(start + c * CHUNK_SIZE, CHUNK_SIZE)],
+            payload_hbm.at[:, pl.ds(base + c * CHUNK_SIZE, CHUNK_SIZE)],
             pbuf.at[slot],
             sem.at[slot],
         )
@@ -441,13 +457,22 @@ def _bwd_kernel(
     def copy_out(c, slot):
         return pltpu.make_async_copy(
             dbuf.at[slot],
-            dslot_hbm.at[:, pl.ds(start + c * CHUNK_SIZE, CHUNK_SIZE)],
+            dslot_hbm.at[:, pl.ds(base + c * CHUNK_SIZE, CHUNK_SIZE)],
             wsem.at[slot],
+        )
+
+    # The head chunk is shared with preceding tiles' segments: earlier grid
+    # steps (the TPU grid runs sequentially in ascending order) already wrote
+    # their gradient rows there. Read-modify-write merges our rows in.
+    def copy_head_in():
+        return pltpu.make_async_copy(
+            dslot_hbm.at[:, pl.ds(base, CHUNK_SIZE)], rbuf, rsem
         )
 
     @pl.when(nc > 0)
     def _():
         copy_in(0, 0).start()
+        copy_head_in().start()
 
     row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_SIZE, 1), 0)
     ones_row = jnp.ones((1, NPIX), jnp.float32)
@@ -463,7 +488,9 @@ def _bwd_kernel(
         copy_in(c, slot).wait()
         p = _transpose_mxu(pbuf[slot])  # [32, CHUNK] -> [CHUNK, 32]
 
-        f = _chunk_terms(p, rx, ry, R3, need_normals=with_reg)
+        grow = base + c * CHUNK_SIZE + row_i
+        seg_mask = (grow >= seg_s) & (grow < seg_e)
+        f = _chunk_terms(p, rx, ry, R3, need_normals=with_reg, seg_mask=seg_mask)
         T_excl = T * _shift_down(f.prod_incl, 1, 1.0)
         cutoff = T_excl > TRANSMITTANCE_EPS
         w = f.a * T_excl * cutoff
@@ -598,7 +625,13 @@ def _bwd_kernel(
         def _():
             copy_out(c - 2, wslot).wait()
 
-        dbuf[wslot] = drow_t
+        @pl.when(c == 0)
+        def _():
+            copy_head_in().wait()
+
+        # merge preceding tiles' rows on the shared head chunk (stale rbuf
+        # contents are gated off for c > 0)
+        dbuf[wslot] = jnp.where(c == 0, drow_t + rbuf[:], drow_t)
         copy_out(c, wslot).start()
 
         T = T * f.prod_incl[CHUNK_SIZE - 1 : CHUNK_SIZE]
@@ -634,37 +667,39 @@ def rasterize_bwd_pallas(
     payload, fout, gout, binning: Binning, meta_vec, ntx: int, ntiles: int,
     halfw: float, halfh: float, interpret=False, with_stats=True, with_reg=True,
 ):
-    """Run the backward kernel. Returns per-slot gradient rows [32, CAP_PAD]."""
-    cap_pad = payload.shape[1]
+    """Run the backward kernel. Returns per-slot gradient rows [32, CAP]."""
+    cap = payload.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda t, s, n: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda t, s: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, OUT_CH, NPIX), lambda t, s, n: (t, 0, 0)),
-            pl.BlockSpec((1, OUT_CH, NPIX), lambda t, s, n: (t, 0, 0)),
+            pl.BlockSpec((1, OUT_CH, NPIX), lambda t, s: (t, 0, 0)),
+            pl.BlockSpec((1, OUT_CH, NPIX), lambda t, s: (t, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),
             pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),
+            pltpu.VMEM((P_COLS, CHUNK_SIZE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     # The output is aliased to a zero-initialized input so chunks skipped by
     # the saturation early-exit keep exactly-zero gradient rows.
-    dslot_init = jnp.zeros((P_COLS, cap_pad), jnp.float32)
+    dslot_init = jnp.zeros((P_COLS, cap), jnp.float32)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, ntx, halfw, halfh, with_stats, with_reg),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P_COLS, cap_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P_COLS, cap), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        input_output_aliases={6: 0},
-    )(binning.tile_start, binning.tile_chunks, meta_vec, payload, fout, gout, dslot_init)
+        input_output_aliases={5: 0},
+    )(binning.bounds, meta_vec, payload, fout, gout, dslot_init)
 
 
 # ---------------------------------------------------------------------------

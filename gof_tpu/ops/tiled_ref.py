@@ -138,12 +138,10 @@ def render_tiles_xla(
     tile_chunks * CHUNK_SIZE).
     """
     ntiles = ntx * nty
-    idx = binning.tile_start[:, None] + jnp.arange(max_tile_len, dtype=jnp.int32)[None, :]
-    from .binning import CHUNK_SIZE
-
-    in_range = jnp.arange(max_tile_len, dtype=jnp.int32)[None, :] < (
-        binning.tile_chunks[:, None] * CHUNK_SIZE
-    )
+    seg_start = binning.bounds[:-1]
+    seg_len = binning.bounds[1:] - seg_start
+    idx = seg_start[:, None] + jnp.arange(max_tile_len, dtype=jnp.int32)[None, :]
+    in_range = jnp.arange(max_tile_len, dtype=jnp.int32)[None, :] < seg_len[:, None]
     idx = jnp.clip(idx, 0, payload.shape[0] - 1)
     ptile = payload[idx]  # [NTILES, L, 16]
     ptile = jnp.where(in_range[..., None], ptile, 0.0)

@@ -31,7 +31,6 @@ def main():
                                  width=args.width, height=args.height)
     ntx, nty = binning.tile_grid(cam.width, cam.height)
     ntiles = ntx * nty
-    meta = rp.RasterMeta(ntx=ntx, nty=nty, width=cam.width, height=cam.height)
     bg = jnp.zeros(3)
     mv = rp._meta_vec(cam.focal_x, cam.focal_y, bg, cam.width, cam.height)
 
@@ -57,7 +56,7 @@ def main():
         shs = rgb_to_sh_dc(jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32))[:, None, :]
         pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
         rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
-        CAP = 1 << 20
+        CAP = 1 << 21
         b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=CAP)
         op_eff = opac * jnp.where(pre.valid, pre.coef, 0.0)
         sigma6 = rp.pack_sigma6(pre.v2g_M)
@@ -65,22 +64,23 @@ def main():
         payload = rp.build_payload32(pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0,
                                      sigma6, bvec, pre.conic, pre.mean2d, b)
         nk = int(b.num_keys)
-        chunks = int(np.asarray(b.tile_chunks).sum())
-        pop = int((np.asarray(b.tile_chunks) > 0).sum())
+        seg = np.asarray(b.bounds[1:]) - np.asarray(b.bounds[:-1])
+        s = np.asarray(b.bounds[:-1])
+        chunks = int((((s + seg + 127) // 128) - s // 128)[seg > 0].sum())
+        pop = int((seg > 0).sum())
         return payload, b, nk, chunks, pop
 
-    fwd = jax.jit(lambda p, ts, tc: rp.rasterize_fwd_pallas(
-        p, rp.Binning(  # only tile_start/tile_chunks are read by the kernel
-            slot_to_gaussian=None, slot_valid=None, tile_start=ts, tile_chunks=tc,
-            dup_offsets=None, depth_order=None, slot_from_dup=None,
+    fwd = jax.jit(lambda p, bounds: rp.rasterize_fwd_pallas(
+        p, rp.Binning(  # only bounds is read by the kernel
+            slot_to_gaussian=None, bounds=bounds, dup_offsets=None,
             num_keys=None, overflow=None,
         ), mv, ntx, ntiles).sum())
 
     def fwd_t(payload, b):
-        return timed(fwd, payload, b.tile_start, b.tile_chunks)
+        return timed(fwd, payload, b.bounds)
 
-    bwd = jax.jit(lambda p, ts, tc, fo, go: rp.rasterize_bwd_pallas(
-        p, fo, go, rp.Binning(None, None, ts, tc, None, None, None, None, None),
+    bwd = jax.jit(lambda p, bounds, fo, go: rp.rasterize_bwd_pallas(
+        p, fo, go, rp.Binning(None, bounds, None, None, None),
         mv, ntx, ntiles, cam.width / 2, cam.height / 2).sum())
 
     print(f"# image {args.width}x{args.height}, tiles={ntiles}")
@@ -98,9 +98,10 @@ def main():
 
     # backward at one config
     payload, b, nk, chunks, pop = synth(100_000, 0.03)
-    fo = rp.rasterize_fwd_pallas(payload, rp.Binning(None, None, b.tile_start, b.tile_chunks, None, None, None, None, None), mv, ntx, ntiles)
+    fo = rp.rasterize_fwd_pallas(
+        payload, rp.Binning(None, b.bounds, None, None, None), mv, ntx, ntiles)
     go = jnp.ones_like(fo) * 0.1
-    t = timed(bwd, payload, b.tile_start, b.tile_chunks, fo, go)
+    t = timed(bwd, payload, b.bounds, fo, go)
     print(f"bwd  mid-100k: chunks={chunks} -> {t:.2f} ms ({t / max(chunks,1) * 1000:.1f} us/chunk)")
 
 

@@ -67,7 +67,9 @@ rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
 d2 = t("bin_gaussians", lambda d: binning.bin_gaussians(
     d, rects, ntx, nty, CAPACITY).slot_to_gaussian, pre.depth)
 b = jax.jit(lambda d: binning.bin_gaussians(d, rects, ntx, nty, CAPACITY))(pre.depth)
-print(f"  num_keys={int(b.num_keys)}  chunks={int(np.asarray(b.tile_chunks).sum())}")
+seg = np.asarray(b.bounds[1:]) - np.asarray(b.bounds[:-1])
+chunks = int((-(-seg // 128)).sum())
+print(f"  num_keys={int(b.num_keys)}  window_chunks~={chunks}")
 
 # stage 3: payload build (gather)
 op_eff = opac * jnp.where(pre.valid, pre.coef, 0.0)

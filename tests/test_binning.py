@@ -43,6 +43,11 @@ def brute_force_bins(pre, ntx, nty):
     return rects, per_tile
 
 
+def segments(b):
+    bounds = np.asarray(b.bounds)
+    return bounds[:-1], bounds[1:]
+
+
 class TestBinning:
     @pytest.mark.slow
     def test_matches_brute_force(self, rng):
@@ -54,46 +59,48 @@ class TestBinning:
         assert not bool(b.overflow)
 
         s2g = np.asarray(b.slot_to_gaussian)
-        start = np.asarray(b.tile_start)
-        chunks = np.asarray(b.tile_chunks)
+        depth = np.asarray(pre.depth)
+        starts, ends = segments(b)
         for t in range(ntx * nty):
-            seg = s2g[start[t] : start[t] + chunks[t] * CHUNK_SIZE]
-            got = [g for g in seg if g < len(np.asarray(pre.depth))]
-            assert got == per_tile[t], f"tile {t}"
+            got = list(s2g[starts[t] : ends[t]])
+            # same multiset of gaussians, sorted by depth (ties in any order)
+            assert sorted(got) == sorted(per_tile[t]), f"tile {t}"
+            d = depth[got]
+            assert np.all(d[1:] >= d[:-1]), f"tile {t} not depth-sorted"
 
-    def test_chunk_alignment_and_padding(self, rng):
+    def test_segments_partition_capacity(self, rng):
         means, scales, rots, opac, shs, cam = make_scene(rng, n=30)
         pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
         ntx, nty = binning.tile_grid(cam.width, cam.height)
         rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
         b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=4096)
-        start = np.asarray(b.tile_start)
-        chunks = np.asarray(b.tile_chunks)
-        assert np.all(start % CHUNK_SIZE == 0)
-        # segments are disjoint and increasing
-        ends = start + chunks * CHUNK_SIZE
-        assert np.all(start[1:] >= ends[:-1])
-        # padded slots are invalid
-        valid = np.asarray(b.slot_valid)
+        starts, ends = segments(b)
+        # contiguous, increasing, and the union covers exactly the real keys
+        assert starts[0] == 0
+        assert np.all(ends >= starts)
+        assert np.all(starts[1:] == ends[:-1])
+        assert ends[-1] == int(b.num_keys)
+        # slots outside every segment are sentinels
         P = means.shape[0]
         s2g = np.asarray(b.slot_to_gaussian)
-        assert np.all((s2g < P) == valid)
+        assert np.all(s2g[ends[-1]:] == P)
+        assert np.all(s2g[: ends[-1]] < P)
 
-    def test_slot_from_dup_roundtrip(self, rng):
+    def test_dup_offsets(self, rng):
         means, scales, rots, opac, shs, cam = make_scene(rng, n=50)
         pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
         ntx, nty = binning.tile_grid(cam.width, cam.height)
         rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
-        b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=4096, with_dup_mapping=True)
-        nk = int(b.num_keys)
-        s2g = np.asarray(b.slot_to_gaussian)
-        sfd = np.asarray(b.slot_from_dup)[:nk]
-        order = np.asarray(b.depth_order)
+        b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=4096)
         off = np.asarray(b.dup_offsets)
-        # dup entry d belongs to depth-rank i; its final slot must hold that gaussian
-        for d in range(nk):
-            i = np.searchsorted(off, d, side="right") - 1
-            assert s2g[sfd[d]] == order[i]
+        counts = np.asarray(rects.w) * np.asarray(rects.h)
+        np.testing.assert_array_equal(np.diff(off), counts)
+        assert off[-1] == int(b.num_keys)
+        # each gaussian appears exactly counts[g] times in the sorted list
+        s2g = np.asarray(b.slot_to_gaussian)
+        P = means.shape[0]
+        got_counts = np.bincount(s2g[s2g < P], minlength=P)
+        np.testing.assert_array_equal(got_counts, counts)
 
     def test_reduce_per_gaussian(self, rng):
         means, scales, rots, opac, shs, cam = make_scene(rng, n=50)
@@ -101,16 +108,16 @@ class TestBinning:
         ntx, nty = binning.tile_grid(cam.width, cam.height)
         rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
         b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=4096)
-        cap_pad = b.slot_to_gaussian.shape[0]
-        dslot = jnp.asarray(rng.normal(size=(cap_pad, 3)), jnp.float32)
+        cap = b.slot_to_gaussian.shape[0]
+        dslot = jnp.asarray(rng.normal(size=(cap, 3)), jnp.float32)
         got = np.asarray(binning.reduce_per_gaussian(dslot, b, means.shape[0]))
         # numpy reference: sum dslot rows by gaussian id over valid slots
         want = np.zeros_like(got)
         s2g = np.asarray(b.slot_to_gaussian)
-        valid = np.asarray(b.slot_valid)
+        P = means.shape[0]
         d = np.asarray(dslot)
-        for s in range(cap_pad):
-            if valid[s]:
+        for s in range(cap):
+            if s2g[s] < P:
                 want[s2g[s]] += d[s]
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
@@ -119,11 +126,12 @@ class TestBinning:
         pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
         ntx, nty = binning.tile_grid(cam.width, cam.height)
         rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
-        b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=16)
+        b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=128)
         assert bool(b.overflow)
+        # segments never extend past the capacity
+        assert int(b.bounds[-1]) <= 128
 
     @pytest.mark.slow
-
     def test_jit_clean(self, rng):
         """bin_gaussians must be jittable with static grid/capacity."""
         means, scales, rots, opac, shs, cam = make_scene(rng, n=20)
@@ -132,7 +140,41 @@ class TestBinning:
         rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
         f = jax.jit(binning.bin_gaussians, static_argnums=(2, 3, 4))
         b = f(pre.depth, rects, ntx, nty, 1024)
-        assert b.slot_to_gaussian.shape[0] % CHUNK_SIZE == 0
+        assert b.slot_to_gaussian.shape[0] == 1024
+
+
+class TestUnboundedRects:
+    def test_giant_gaussian_covers_grid(self, rng):
+        """A near-camera Gaussian's rect is unbounded (forward.cu:363-371):
+        it must bin into every tile it truly covers."""
+        means = jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32)
+        scales = jnp.asarray([[2.0, 2.0, 2.0]], jnp.float32)
+        rots = jnp.asarray([[1.0, 0.0, 0.0, 0.0]], jnp.float32)
+        shs = rgb_to_sh_dc(jnp.asarray([[0.8, 0.2, 0.2]], jnp.float32))[:, None, :]
+        cam = cameras.look_at_camera(eye=(0, 0, 0), target=(0, 0, 5.0), width=512, height=256)
+        pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
+        ntx, nty = binning.tile_grid(cam.width, cam.height)
+        rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+        assert int(rects.w[0]) == ntx and int(rects.h[0]) == nty
+        b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=256)
+        assert int(b.num_keys) == ntx * nty
+
+
+class TestAlignedItemBins:
+    def test_one_tile_per_item(self, rng):
+        ntiles = 7
+        tile = jnp.asarray(rng.integers(0, ntiles + 1, 50), jnp.int32)  # incl invalid
+        b = binning.bin_items_aligned(tile, ntiles, capacity=64, block=8)
+        s2i = np.asarray(b.slot_to_item)
+        start = np.asarray(b.tile_start)
+        blocks = np.asarray(b.tile_blocks)
+        t_np = np.asarray(tile)
+        for t in range(ntiles):
+            seg = s2i[start[t] : start[t] + blocks[t] * 8]
+            got = sorted(i for i in seg if i < 50)
+            want = sorted(np.nonzero(t_np == t)[0].tolist())
+            assert got == want, f"tile {t}"
+        assert np.all(start % 8 == 0)
 
 
 def full_cover_scene(rng, n=12, width=96, height=64):
@@ -148,7 +190,8 @@ def run_tiled(means, scales, rots, opac, shs, cam, kernel_size, bg):
     b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=8192)
     op_eff = opac * jnp.where(pre.valid, jax.lax.stop_gradient(pre.coef), 0.0)
     payload = tiled_ref.build_payload(pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, b)
-    max_len = int(np.asarray(b.tile_chunks).max()) * CHUNK_SIZE
+    seg_len = np.asarray(b.bounds[1:]) - np.asarray(b.bounds[:-1])
+    max_len = max(int(seg_len.max()), 1)
     out = tiled_ref.render_tiles_xla(
         payload, b, ntx, nty, cam.width, cam.height, cam.focal_x, cam.focal_y, bg, max_len
     )

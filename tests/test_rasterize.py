@@ -57,7 +57,7 @@ def pallas_image(pre, b, op_eff, bg, cam, meta, ntx, nty, carrier=None):
 
 def xla_image(pre, b, op_eff, bg, cam, ntx, nty):
     payload = tiled_ref.build_payload(pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, b)
-    max_len = max(int(np.asarray(b.tile_chunks).max()), 1) * CHUNK_SIZE
+    max_len = max(int(np.asarray(b.bounds[1:] - b.bounds[:-1]).max()), 1)
     out = tiled_ref.render_tiles_xla(payload, b, ntx, nty, cam.width, cam.height,
                                      cam.focal_x, cam.focal_y, bg, max_len)
     return tiled_ref.assemble_image(out, ntx, nty, cam.width, cam.height)
@@ -82,7 +82,7 @@ class TestPallasForward:
         pre, b, op_eff, bg, cam, meta, ntx, nty = setup(rng, n=300, width=64, height=32)
         img_p = np.asarray(pallas_image(pre, b, op_eff, bg, cam, meta, ntx, nty))
         img_x = np.asarray(xla_image(pre, b, op_eff, bg, cam, ntx, nty))
-        assert int(np.asarray(b.tile_chunks).max()) >= 2
+        assert int(np.asarray(b.bounds[1:] - b.bounds[:-1]).max()) > CHUNK_SIZE
         np.testing.assert_allclose(img_p[:9], img_x[:9], atol=1e-5, rtol=1e-4)
 
     def test_empty_scene(self, rng):
@@ -113,7 +113,7 @@ class TestPallasBackward:
             flat = jnp.concatenate([rgb, op[:, None], M.reshape(P, 9), u0], axis=1)
             flat = jnp.concatenate([flat, jnp.zeros((1, 16))], axis=0)
             payload = flat[b.slot_to_gaussian]
-            max_len = max(int(np.asarray(b.tile_chunks).max()), 1) * CHUNK_SIZE
+            max_len = max(int(np.asarray(b.bounds[1:] - b.bounds[:-1]).max()), 1)
             out = tiled_ref.render_tiles_xla(payload, b, ntx, nty, ntx * 32, nty * 32,
                                              cam.focal_x, cam.focal_y, bg, max_len)
             img = tiled_ref.assemble_image(out, ntx, nty, ntx * 32, nty * 32)

@@ -74,7 +74,7 @@ class TestRenderAPI:
             b = binning.bin_gaussians(pre.depth, rects, ntx, nty, 4096)
             op_eff = opac_low * jnp.where(pre.valid, pre.coef, 0.0)
             payload = tiled_ref.build_payload(pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, b)
-            L = max(int(np.asarray(b.tile_chunks).max()), 1) * CHUNK_SIZE
+            L = max(int(np.asarray(b.bounds[1:] - b.bounds[:-1]).max()), 1)
             out = tiled_ref.render_tiles_xla(payload, b, ntx, nty, 64, 64,
                                              cam.focal_x, cam.focal_y, bg, L)
             return np.asarray(tiled_ref.assemble_image(out, ntx, nty, 64, 64)), int(b.num_keys)
