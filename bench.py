@@ -1,15 +1,19 @@
-"""Benchmark: full differentiable render step (fwd+bwd) on a synthetic scene.
+"""Benchmark: FULL production train step (the exact jitted function train.py
+runs: render fwd -> L1+SSIM(+regularizers) -> hand-written VJP -> per-group
+Adam -> densification-stat accumulation) on a synthetic bicycle-like scene.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline anchor: the reference trains Mip-NeRF 360 "bicycle" (1237x822 at -r4)
-for 30k iterations in ~45 min on an unspecified GPU (README.md:34), i.e.
-~11.1 train iters/sec. This benchmark times our fused forward+backward render
-step (preprocess + binning + Pallas rasterize + gradient reduction) at a
-bicycle-like resolution and Gaussian count, which dominates the train step.
+Baseline anchor: the reference trains Mip-NeRF 360 "bicycle" (1237x822 at
+-r4) for 30k iterations in ~45 min on an unspecified GPU (README.md:34),
+i.e. ~11.1 train iters/sec. Training has two phases with different compiled
+step functions: iters < 15k run with densification stats on and the
+regularizers compiled out (their weights are 0, train.py ramps them at 15k);
+iters >= 15k run with the regularizers on and stats off. The headline number
+is the 50/50 average of the two step times (what a 30k-iteration run pays).
 
-Run stages with --profile for a stage breakdown. Timing forces host readback
-(block_until_ready is not reliable through the axon tunnel).
+--gaussians/--capacity change the scale; --late sweeps a late-training
+configuration (>= 1M gaussians, >= 4M duplicated keys) as a second line.
 """
 
 import argparse
@@ -19,18 +23,104 @@ import time
 import numpy as np
 
 
+def make_state(n, rng, spread=1.0, sigma=-3.2):
+    import jax.numpy as jnp
+
+    from gof_tpu.model import gaussians as gm
+    from gof_tpu.sh import num_sh_coeffs, rgb_to_sh_dc
+
+    z = rng.uniform(2, 12, n)
+    xyz = np.stack([rng.uniform(-1, 1, n) * z * 0.45 * spread,
+                    rng.uniform(-1, 1, n) * z * 0.3 * spread, z], -1)
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    K = num_sh_coeffs(3)
+    dc = rgb_to_sh_dc(jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32))[:, None, :]
+    op = rng.uniform(0.3, 0.95, n)
+    params = gm.GaussianParams(
+        xyz=jnp.asarray(xyz, jnp.float32),
+        features_dc=dc,
+        features_rest=jnp.zeros((n, K - 1, 3), jnp.float32),
+        scaling=jnp.asarray(rng.normal(sigma, 0.5, (n, 3)), jnp.float32),
+        rotation=jnp.asarray(q, jnp.float32),
+        opacity=jnp.asarray(np.log(op / (1 - op)), jnp.float32),
+    )
+    zf = jnp.zeros((n,), jnp.float32)
+    state = gm.GaussianState(
+        active=jnp.ones((n,), bool), filter_3d=zf + 1e-4, max_radii2d=zf,
+        grad_accum=zf, grad_abs_accum=zf, denom=zf,
+    )
+    return params, state
+
+
+def bench_config(n, width, height, capacity, reps, label, sigma=-3.2, verbose=False):
+    import jax
+    import jax.numpy as jnp
+
+    from gof_tpu import cameras
+    from gof_tpu import config as config_lib
+    from gof_tpu import train as train_lib
+
+    rng = np.random.default_rng(1)
+    params, gstate = make_state(n, rng, sigma=sigma)
+    cam = cameras.look_at_camera(eye=(0, 0, 0), target=(0, 0, 5.0),
+                                 width=width, height=height)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, height, width)), jnp.float32)
+    bg = jnp.zeros(3)
+
+    opt = config_lib.OptimizationParams()
+    model_cfg = config_lib.ModelParams(sh_degree=3, kernel_size=0.1)
+    pipe = config_lib.PipelineParams(backend="pallas", key_capacity=capacity)
+    from gof_tpu.model import appearance as app_lib
+
+    tx = train_lib.make_optimizer(opt, spatial_lr_scale=5.0)
+    app_net, app_emb = app_lib.init_appearance(jax.random.PRNGKey(0))
+    tp0 = train_lib.TrainParams(gauss=params, app_net=app_net, app_emb=app_emb)
+    opt_state0 = tx.init(tp0)
+
+    def time_phase(with_stats, with_reg, step_idx):
+        step_fn = train_lib.build_train_step(
+            opt, model_cfg, pipe, tx, with_stats=with_stats, with_reg=with_reg)
+        # fresh buffers per phase: the step donates the gaussian params
+        import jax.numpy as jnp2
+        t = jax.tree.map(jnp2.copy, tp0)
+        s, g = opt_state0, gstate
+        step = jnp.asarray(step_idx, jnp.int32)
+        import sys
+        tc0 = time.perf_counter()
+        t, s, g, m = step_fn(t, s, g, gt, step, cam, bg)  # compile
+        jax.block_until_ready(m["loss"])
+        print(f"# compiled phase(stats={with_stats},reg={with_reg}) in "
+              f"{time.perf_counter()-tc0:.0f}s", file=sys.stderr)
+        nk, ov = int(m["num_keys"]), bool(m["key_overflow"])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            t, s, g, m = step_fn(t, s, g, gt, step, cam, bg)
+        jax.block_until_ready(m["loss"])
+        dt = (time.perf_counter() - t0) / reps
+        return dt, nk, ov
+
+    d_densify, nk, ov = time_phase(True, False, 5000)
+    d_reg, _, _ = time_phase(False, True, 20000)
+    assert not ov, f"key overflow: {nk} > capacity {capacity}; raise --capacity"
+    mean_dt = 0.5 * (d_densify + d_reg)
+    if verbose:
+        print(f"# {label}: gaussians={n} keys={nk} capacity={capacity} "
+              f"densify-phase {d_densify*1e3:.1f} ms | reg-phase {d_reg*1e3:.1f} ms")
+    return 1.0 / mean_dt, nk
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--profile", action="store_true")
     ap.add_argument("--gaussians", type=int, default=100_000)
     ap.add_argument("--width", type=int, default=1237)
     ap.add_argument("--height", type=int, default=822)
-    # Capacity matches what the training loop's doubling policy (train.py:
-    # key_capacity 262144 -> x2 on overflow) settles at for this workload:
-    # 484k duplicated keys -> 524288. Binning/gather/reduce costs scale with
-    # this static capacity, not with the live key count.
-    ap.add_argument("--capacity", type=int, default=1 << 19)
-    ap.add_argument("--reps", type=int, default=5)
+    # Capacity is what the training loop's growth policy (grow to 1.3x
+    # observed demand, 64k-aligned) settles at for this workload.
+    ap.add_argument("--capacity", type=int, default=1_638_400)
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--late", action="store_true",
+                    help="also sweep a late-training scale (1M gaussians)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -38,105 +128,21 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
 
-    from gof_tpu import cameras
-    from gof_tpu.ops import binning, quadrics, tiled_ref
-    from gof_tpu.ops import rasterize_pallas as rp
-    from gof_tpu.sh import rgb_to_sh_dc
+    iters_per_sec, nk = bench_config(
+        args.gaussians, args.width, args.height, args.capacity, args.reps,
+        "bicycle-like", verbose=True)
 
-    n = args.gaussians
-    rng = np.random.default_rng(1)
-    z = rng.uniform(3, 9, n)
-    x = rng.uniform(-1, 1, n) * z * 0.35
-    y = rng.uniform(-1, 1, n) * z * 0.25
-    means = jnp.asarray(np.stack([x, y, z], -1), jnp.float32)
-    scales = jnp.asarray(rng.uniform(0.008, 0.03, (n, 3)), jnp.float32)
-    q = rng.normal(size=(n, 4))
-    q /= np.linalg.norm(q, axis=-1, keepdims=True)
-    rots = jnp.asarray(q, jnp.float32)
-    opac = jnp.asarray(rng.uniform(0.3, 0.95, n), jnp.float32)
-    shs = rgb_to_sh_dc(jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32))[:, None, :]
-    cam = cameras.look_at_camera(
-        eye=(0, 0, 0), target=(0, 0, 5.0), width=args.width, height=args.height
-    )
-    bg = jnp.zeros(3)
-    ntx, nty = binning.tile_grid(cam.width, cam.height)
-    meta = rp.RasterMeta(ntx=ntx, nty=nty, width=cam.width, height=cam.height)
-    CAP = args.capacity
+    if args.late:
+        late_ips, late_nk = bench_config(
+            1_000_000, args.width, args.height, 6_553_600,
+            max(args.reps // 2, 5), "late-training", sigma=-4.3, verbose=True)
+        print(f"# late-training: {late_ips:.2f} it/s at {late_nk} keys")
 
-    def full_impl(means, scales, rots, opac, shs, carrier):
-        pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1, opacities=opac)
-        rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
-        b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=CAP)
-        op_eff = opac * jnp.where(pre.valid, jax.lax.stop_gradient(pre.coef), 0.0)
-        sigma6 = rp.pack_sigma6(pre.v2g_M)
-        bvec = jnp.einsum("pji,pj->pi", pre.v2g_M, pre.v2g_u0)
-        out = rp.rasterize(
-            meta, pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, sigma6, bvec,
-            pre.conic, pre.mean2d, carrier, cam.focal_x, cam.focal_y, bg, b,
-        )
-        return out, b.num_keys
-
-    def one_step(means, scales, rots, opac, shs):
-        def loss(m, s, r, o, sh, c):
-            out, nk = full_impl(m, s, r, o, sh, c)
-            img = tiled_ref.assemble_image(out, ntx, nty, cam.width, cam.height)
-            return jnp.sum(img[:9] ** 2), nk
-
-        (l, nk), g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4, 5), has_aux=True)(
-            means, scales, rots, opac, shs, jnp.zeros((n, 3), jnp.float32)
-        )
-        return l, nk, g[0]
-
-    # Chain `reps` steps on-device inside one jit: a host readback through the
-    # TPU tunnel costs ~30ms, which would otherwise dominate the measurement.
-    @jax.jit
-    def step_chain(means, scales, rots, opac, shs):
-        def body(i, carry):
-            m, acc = carry
-            l, nk, gm_ = one_step(m, scales, rots, opac, shs)
-            return (m + gm_ * 1e-20, acc + l)
-
-        m, acc = jax.lax.fori_loop(0, args.reps, body, (means, jnp.float32(0)))
-        return acc
-
-    def timed(f, *a, reps=args.reps):
-        np.asarray(jax.tree.leaves(f(*a))[0])  # compile + sync
-        t0 = time.time()
-        np.asarray(jax.tree.leaves(f(*a))[0])
-        return (time.time() - t0 - 0.03) / reps
-
-    if args.profile:
-        @jax.jit
-        def fwd_chain(means, scales, rots, opac, shs):
-            def body(i, carry):
-                m, acc = carry
-                out, nk = full_impl(m, scales, rots, opac, shs, jnp.zeros((n, 3), jnp.float32))
-                return (m + out[0, 0, 0] * 1e-20, acc + out[0, 0, 1])
-
-            m, acc = jax.lax.fori_loop(0, args.reps, body, (means, jnp.float32(0)))
-            return acc
-
-        tf = timed(fwd_chain, means, scales, rots, opac, shs)
-        nk = jax.jit(lambda *a: full_impl(*a, jnp.zeros((n, 3), jnp.float32))[1])(
-            means, scales, rots, opac, shs
-        )
-        print(f"# fwd: {tf*1000:.2f} ms  num_keys={int(nk)}")
-
-    nk_check = int(
-        jax.jit(lambda *a: full_impl(*a, jnp.zeros((n, 3), jnp.float32))[1])(
-            means, scales, rots, opac, shs
-        )
-    )
-    assert nk_check <= CAP, f"keys {nk_check} overflow capacity {CAP}"
-
-    dt = timed(step_chain, means, scales, rots, opac, shs)
-    iters_per_sec = 1.0 / dt
     print(
         json.dumps(
             {
-                "metric": "fused_render_fwd_bwd_iters_per_sec",
+                "metric": "full_train_step_iters_per_sec",
                 "value": round(iters_per_sec, 3),
                 "unit": "iters/s",
                 "vs_baseline": round(iters_per_sec / 11.1, 3),

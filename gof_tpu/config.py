@@ -30,9 +30,13 @@ class ModelParams:
     sh_degree: int = 3
     # Mip-Splatting 2D dilation added to the screen-space covariance diagonal
     kernel_size: float = 0.0
-    ray_jitter: bool = False
-    resample_gt_image: bool = False
+    # Deviation note: the reference declares ray_jitter / resample_gt_image
+    # flags (arguments/__init__.py:59-60) but never wires them — the
+    # subpixel_offset stays zeros and create_offset_gt (train.py:41) is dead
+    # code upstream. We drop the flags rather than carry dead config.
     load_allres: bool = False
+    # 30% of camera picks come from the >= 800px-wide subset
+    # (train.py:112-116,139-141)
     sample_more_highres: bool = False
     use_decoupled_appearance: bool = False
 

@@ -235,6 +235,17 @@ def detect_scene_type(path: str) -> str:
     raise ValueError(f"Could not recognize scene type in {path}")
 
 
+def _target_resolution(orig_w: int, orig_h: int, resolution: int):
+    """The reference resolution rules (utils/camera_utils.py:20-55)."""
+    if resolution in (1, 2, 4, 8):
+        return (round(orig_w / resolution), round(orig_h / resolution))
+    if resolution == -1:
+        global_down = orig_w / 1600 if orig_w > 1600 else 1
+    else:
+        global_down = orig_w / resolution
+    return (int(orig_w / global_down), int(orig_h / global_down))
+
+
 def load_image(info: CameraInfo, resolution: int = -1) -> np.ndarray:
     """Load and resize gt image per the reference resolution rules
     (utils/camera_utils.py:20-55). Returns [H, W, 3] float32."""
@@ -243,14 +254,25 @@ def load_image(info: CameraInfo, resolution: int = -1) -> np.ndarray:
     else:
         img = Image.open(info.image_path).convert("RGB")
     orig_w, orig_h = img.size
-    if resolution in (1, 2, 4, 8):
-        res = (round(orig_w / resolution), round(orig_h / resolution))
-    else:
-        if resolution == -1:
-            global_down = orig_w / 1600 if orig_w > 1600 else 1
-        else:
-            global_down = orig_w / resolution
-        res = (int(orig_w / global_down), int(orig_h / global_down))
+    res = _target_resolution(orig_w, orig_h, resolution)
     if res != (orig_w, orig_h):
         img = img.resize(res, Image.LANCZOS)
     return np.asarray(img, np.float32) / 255.0
+
+
+def load_alpha(info: CameraInfo, resolution: int = -1):
+    """The view's alpha mask, resized like the image, or None. COLMAP-format
+    datasets with RGBA images (e.g. preprocessed DTU) carry the mask in the
+    4th channel (the reference's gt_alpha_mask, utils/camera_utils.py:29-43)."""
+    if info.alpha is not None:
+        a = Image.fromarray((np.asarray(info.alpha) * 255).astype(np.uint8))
+    else:
+        img = Image.open(info.image_path)
+        if img.mode not in ("RGBA", "LA", "PA"):
+            return None
+        a = img.getchannel("A")
+    orig_w, orig_h = a.size
+    res = _target_resolution(orig_w, orig_h, resolution)
+    if res != (orig_w, orig_h):
+        a = a.resize(res, Image.LANCZOS)
+    return np.asarray(a, np.float32) / 255.0

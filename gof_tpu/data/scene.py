@@ -29,6 +29,7 @@ class Scene:
         white_background: bool = False,
         eval_split: bool = False,
         shuffle: bool = True,
+        load_allres: bool = False,
     ):
         self.source_path = source_path
         self.model_path = model_path
@@ -36,7 +37,8 @@ class Scene:
         if kind == "colmap":
             info = readers.read_colmap_scene(source_path, images, eval_split)
         elif kind == "multiscale":
-            info = readers.read_multiscale_scene(source_path, white_background)
+            info = readers.read_multiscale_scene(source_path, white_background,
+                                                 load_allres=load_allres)
         else:
             info = readers.read_blender_scene(source_path, white_background, eval_split=True)
         self.info = info

@@ -90,9 +90,11 @@ def best_fit_transform(A: np.ndarray, B: np.ndarray):
 
 def icp_point_to_point(src: np.ndarray, dst: np.ndarray, max_iters: int = 30,
                        threshold: float | None = None, sample: int = 100_000,
-                       rng=None):
+                       rng=None, return_error: bool = False):
     """Rigid point-to-point ICP (the reference refines the TNT alignment with
-    o3d registration_icp, eval_tnt/registration.py). Returns a 4x4 transform."""
+    o3d registration_icp, eval_tnt/registration.py). Returns a 4x4 transform
+    (and, with return_error, {"rmse", "inlier_frac", "iters"} over the final
+    correspondences — the analog of o3d's RegistrationResult)."""
     rng = rng or np.random.default_rng(0)
     from scipy.spatial import cKDTree
 
@@ -104,7 +106,10 @@ def icp_point_to_point(src: np.ndarray, dst: np.ndarray, max_iters: int = 30,
     T = np.eye(4)
     cur = src_s.copy()
     prev_err = np.inf
-    for _ in range(max_iters):
+    d = np.full(len(cur), np.inf)
+    keep = np.zeros(len(cur), bool)
+    it = 0
+    for it in range(1, max_iters + 1):
         d, idx = tree.query(cur, k=1, workers=-1)
         if threshold is not None:
             keep = d < threshold
@@ -122,4 +127,8 @@ def icp_point_to_point(src: np.ndarray, dst: np.ndarray, max_iters: int = 30,
         if abs(prev_err - err) < 1e-7:
             break
         prev_err = err
+    if return_error:
+        inl = keep if threshold is not None else d < np.inf
+        rmse = float(np.sqrt((d[inl] ** 2).mean())) if inl.any() else float("inf")
+        return T, {"rmse": rmse, "inlier_frac": float(inl.mean()), "iters": it}
     return T

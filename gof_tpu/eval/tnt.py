@@ -1,10 +1,20 @@
 """Tanks and Temples geometry evaluation (python -m gof_tpu.eval.tnt ...).
 
-Replaces eval_tnt/run.py + evaluation.py + registration.py: aligns the
-reconstruction to the ground truth (dataset alignment matrix + ICP
-refinement), crops both to the official crop volume, and reports
-precision / recall / F-score at the per-scene tau
-(eval_tnt/config.py:33-41).
+Replaces eval_tnt/run.py + evaluation.py + registration.py + trajectory_io.py:
+
+ 1. initial alignment from camera trajectories: the reconstruction's COLMAP
+    trajectory (--traj-path, .log format) is registered to the dataset's
+    GT-frame trajectory {scene}_COLMAP_SfM.log (transformed by
+    {scene}_trans.txt) with a scaled best-fit over index-corresponded camera
+    centers, robustified by RANSAC (registration.py:65-108, which uses
+    o3d RANSAC over identity correspondences with scaling enabled);
+ 2. staged ICP refinement at decreasing thresholds 80*tau -> 20*tau -> 2*tau
+    on crop-volume-filtered clouds (run.py:155-161);
+ 3. precision / recall / F-score at the per-scene tau
+    (eval_tnt/config.py:33-41, evaluation.py:144-165).
+
+If no trajectory is supplied, a precomputed {scene}_trans.txt applied to the
+reconstruction is accepted as the initial alignment (legacy mode).
 """
 
 from __future__ import annotations
@@ -29,6 +39,65 @@ def load_points(path):
     verts, faces = ply.read_ply(path)
     pts = np.stack([verts["x"], verts["y"], verts["z"]], -1).astype(np.float64)
     return pts, faces
+
+
+def read_trajectory_log(path) -> np.ndarray:
+    """TNT .log trajectory: blocks of one metadata line + a 4x4 pose
+    (camera-to-world), eval_tnt/trajectory_io.py:23-35. Returns [N, 4, 4]."""
+    poses = []
+    with open(path) as f:
+        meta = f.readline()
+        while meta.strip():
+            mat = np.array([np.fromstring(f.readline(), dtype=float, sep=" \t")
+                            for _ in range(4)])
+            poses.append(mat)
+            meta = f.readline()
+    return np.asarray(poses)
+
+
+def similarity_to_matrix(R, t, s):
+    T = np.eye(4)
+    T[:3, :3] = s * R
+    T[:3, 3] = t
+    return T
+
+
+def trajectory_alignment(pred_centers: np.ndarray, gt_centers: np.ndarray,
+                         inlier_thresh: float = 0.2, iters: int = 1000, rng=None):
+    """Scaled best-fit over index-corresponded camera centers with a RANSAC
+    loop (the reference's registration_ransac_based_on_correspondence with
+    with_scaling=True, registration.py:98-108). Returns (T 4x4, info dict)."""
+    rng = rng or np.random.default_rng(0)
+    n = min(len(pred_centers), len(gt_centers))
+    A, B = pred_centers[:n], gt_centers[:n]
+    if n < 3:
+        raise ValueError("need at least 3 corresponded camera poses")
+
+    def fit(idx):
+        R, t, s = geo.best_fit_transform(A[idx], B[idx])
+        return R, t, s
+
+    best = None
+    for _ in range(iters):
+        idx = rng.choice(n, size=min(6, n), replace=False)
+        try:
+            R, t, s = fit(idx)
+        except np.linalg.LinAlgError:
+            continue
+        resid = np.linalg.norm((A * s) @ R.T + t - B, axis=1)
+        inl = resid < inlier_thresh
+        score = int(inl.sum())
+        if best is None or score > best[0]:
+            best = (score, inl)
+    score, inl = best
+    if score >= 3:
+        R, t, s = fit(np.nonzero(inl)[0])
+    else:  # degenerate: fall back to all correspondences
+        R, t, s = fit(np.arange(n))
+    resid = np.linalg.norm((A * s) @ R.T + t - B, axis=1)
+    info = {"n_poses": int(n), "inliers": int((resid < inlier_thresh).sum()),
+            "rmse": float(np.sqrt((resid**2).mean()))}
+    return similarity_to_matrix(R, t, s), info
 
 
 def load_crop_volume(path):
@@ -57,11 +126,18 @@ def crop_points(pts, poly, axis, amin, amax):
     return pts[keep & inside]
 
 
+def apply_T(pts, T):
+    return pts @ T[:3, :3].T + T[:3, 3]
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset-dir", required=True,
-                    help="dir with {scene}.ply (gt), {scene}.json (crop), {scene}_trans.txt")
-    ap.add_argument("--traj-path", default="", help="unused placeholder for parity")
+                    help="dir with {scene}.ply (gt), {scene}.json (crop), "
+                         "{scene}_COLMAP_SfM.log (gt-frame trajectory), "
+                         "{scene}_trans.txt (gt trajectory alignment)")
+    ap.add_argument("--traj-path", default="",
+                    help="reconstruction trajectory (.log) for alignment")
     ap.add_argument("--ply-path", required=True, help="reconstructed mesh/points")
     ap.add_argument("--out-dir", default="")
     ns = ap.parse_args(argv)
@@ -73,21 +149,59 @@ def main(argv=None):
         pred = geo.sample_mesh_surface(pred, faces, density=tau / 2, max_points=5_000_000)
     gt, _ = load_points(os.path.join(ns.dataset_dir, f"{scene}.ply"))
 
+    report = {"scene": scene, "tau": tau}
     trans_path = os.path.join(ns.dataset_dir, f"{scene}_trans.txt")
-    if os.path.exists(trans_path):
-        T0 = np.loadtxt(trans_path).reshape(4, 4)
-        pred = pred @ T0[:3, :3].T + T0[:3, 3]
-    # ICP refinement (registration.py's registration_unif/vol analog)
-    T = geo.icp_point_to_point(pred, gt, threshold=tau * 10)
-    pred = pred @ T[:3, :3].T + T[:3, 3]
+    gt_trans = np.loadtxt(trans_path).reshape(4, 4) if os.path.exists(trans_path) else None
+
+    gt_log = os.path.join(ns.dataset_dir, f"{scene}_COLMAP_SfM.log")
+    if ns.traj_path and os.path.exists(gt_log):
+        # reference path: align the reconstruction's trajectory to the
+        # gt_trans-transformed GT SfM trajectory (run.py:110-130)
+        traj_pred = read_trajectory_log(ns.traj_path)
+        traj_gt = read_trajectory_log(gt_log)
+        gt_centers = traj_gt[:, :3, 3]
+        if gt_trans is not None:
+            gt_centers = apply_T(gt_centers, gt_trans)
+        T0, align_info = trajectory_alignment(traj_pred[:, :3, 3], gt_centers)
+        report["trajectory_alignment"] = align_info
+        pred = apply_T(pred, T0)
+    elif gt_trans is not None:
+        # legacy: a precomputed reconstruction->gt transform
+        pred = apply_T(pred, gt_trans)
+        report["trajectory_alignment"] = {"mode": "precomputed _trans.txt"}
+    else:
+        report["trajectory_alignment"] = {"mode": "none (identity init)"}
 
     crop_path = os.path.join(ns.dataset_dir, f"{scene}.json")
-    if os.path.exists(crop_path):
-        poly, axis, amin, amax = load_crop_volume(crop_path)
-        pred = crop_points(pred, poly, axis, amin, amax)
-        gt = crop_points(gt, poly, axis, amin, amax)
+    crop = load_crop_volume(crop_path) if os.path.exists(crop_path) else None
 
-    res = geo.precision_recall_fscore(pred, gt, tau)
+    def cropped(p):
+        return crop_points(p, *crop) if crop is not None else p
+
+    # staged ICP refinement on crop-filtered clouds (run.py:155-161:
+    # dTau*80 -> dTau*20 -> 2*dTau), with convergence reporting
+    gt_c = cropped(gt)
+    stages = []
+    for thr, iters in ((tau * 80, 20), (tau * 20, 20), (tau * 2, 20)):
+        pred_c = cropped(pred)
+        if len(pred_c) < 100 or len(gt_c) < 100:
+            stages.append({"threshold": thr, "status": "skipped (too few points)"})
+            continue
+        T, err = geo.icp_point_to_point(pred_c, gt_c, max_iters=iters,
+                                        threshold=thr, return_error=True)
+        pred = apply_T(pred, T)
+        stages.append({"threshold": thr, "rmse": err["rmse"],
+                       "inlier_frac": err["inlier_frac"], "iters": err["iters"]})
+    report["icp_stages"] = stages
+    if stages and isinstance(stages[-1], dict) and "inlier_frac" in stages[-1]:
+        report["icp_converged"] = stages[-1]["inlier_frac"] > 0.1
+        if not report["icp_converged"]:
+            print(f"WARNING: ICP likely diverged (final inlier fraction "
+                  f"{stages[-1]['inlier_frac']:.3f} at threshold {stages[-1]['threshold']})")
+
+    pred_c = cropped(pred)
+    res = geo.precision_recall_fscore(pred_c, gt_c, tau)
+    res.update(report)
     out = ns.out_dir or os.path.dirname(ns.ply_path)
     os.makedirs(out, exist_ok=True)
     with open(os.path.join(out, "tnt_results.json"), "w") as f:

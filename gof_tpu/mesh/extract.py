@@ -89,15 +89,24 @@ def get_tetra_points(params: gm.GaussianParams, state: gm.GaussianState,
 
 
 def delaunay(points: np.ndarray, cache_path: str | None = None) -> np.ndarray:
-    """Host Delaunay tetrahedralization (Qhull), cached like cells.pt."""
+    """Host Delaunay tetrahedralization (Qhull), cached like cells.pt.
+
+    The cache records the point count it was built for and is ignored on
+    mismatch (a stale cells.npy from an earlier run of a different model
+    would otherwise index out of bounds).
+    """
     if cache_path and os.path.exists(cache_path):
-        return np.load(cache_path)
+        cached = np.load(cache_path, allow_pickle=False)
+        n_cached = int(cached[0, 0]) if cached.shape[0] > 0 else -1
+        if n_cached == len(points):
+            return cached[1:]
     from scipy.spatial import Delaunay
 
     cells = Delaunay(points.astype(np.float64)).simplices.astype(np.int32)
     if cache_path:
         os.makedirs(os.path.dirname(cache_path), exist_ok=True)
-        np.save(cache_path, cells)
+        header = np.full((1, 4), len(points), dtype=np.int32)
+        np.save(cache_path, np.concatenate([header, cells], axis=0))
     return cells
 
 

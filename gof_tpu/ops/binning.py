@@ -48,15 +48,25 @@ def tile_grid(width: int, height: int):
     return ntx, nty
 
 
-def gaussian_rects(mean2d: jnp.ndarray, radius: jnp.ndarray, valid: jnp.ndarray, ntx: int, nty: int) -> TileRect:
+def gaussian_rects(mean2d: jnp.ndarray, radius: jnp.ndarray, valid: jnp.ndarray, ntx: int, nty: int,
+                   radius_xy: jnp.ndarray | None = None) -> TileRect:
     """Tile rect per Gaussian (getRect, auxiliary.h:64-74). Unbounded, as in
     the reference (forward.cu:363-371): a near-camera Gaussian may cover the
-    whole tile grid; the static key capacity + host growth absorb it."""
+    whole tile grid; the static key capacity + host growth absorb it.
+
+    radius_xy: optional (P, 2) per-axis half-extents (the ellipse-aligned
+    bbox from preprocess) — strictly inside the circumscribed circle, so the
+    rect covers everything above the 1/255 alpha cutoff with fewer tiles.
+    """
     px, py = mean2d[:, 0], mean2d[:, 1]
-    x0 = jnp.clip(jnp.floor((px - radius) / TILE_W).astype(jnp.int32), 0, ntx)
-    y0 = jnp.clip(jnp.floor((py - radius) / TILE_H).astype(jnp.int32), 0, nty)
-    x1 = jnp.clip(jnp.floor((px + radius + TILE_W - 1) / TILE_W).astype(jnp.int32), 0, ntx)
-    y1 = jnp.clip(jnp.floor((py + radius + TILE_H - 1) / TILE_H).astype(jnp.int32), 0, nty)
+    if radius_xy is None:
+        rx = ry = radius
+    else:
+        rx, ry = radius_xy[:, 0], radius_xy[:, 1]
+    x0 = jnp.clip(jnp.floor((px - rx) / TILE_W).astype(jnp.int32), 0, ntx)
+    y0 = jnp.clip(jnp.floor((py - ry) / TILE_H).astype(jnp.int32), 0, nty)
+    x1 = jnp.clip(jnp.floor((px + rx + TILE_W - 1) / TILE_W).astype(jnp.int32), 0, ntx)
+    y1 = jnp.clip(jnp.floor((py + ry + TILE_H - 1) / TILE_H).astype(jnp.int32), 0, nty)
     w = jnp.maximum(x1 - x0, 0)
     h = jnp.maximum(y1 - y0, 0)
     w = jnp.where(valid, w, 0)

@@ -216,6 +216,7 @@ class PreprocessOut(NamedTuple):
     conic: jnp.ndarray  # (P, 3) inverse dilated 2D covariance [a, b, c]
     coef: jnp.ndarray  # mip-splatting opacity compensation
     radius: jnp.ndarray  # 3-sigma screen radius in pixels (float, ceil'ed)
+    radius_xy: jnp.ndarray  # (P, 2) per-axis bbox half-extents (<= radius)
     rgb: jnp.ndarray  # (P, 3) SH-evaluated colors
     v2g_M: jnp.ndarray  # (P, 3, 3)
     v2g_u0: jnp.ndarray  # (P, 3)
@@ -272,11 +273,19 @@ def preprocess(
     # alpha = op * exp(-r^2/2) falls below the 1/255 blend cutoff — identical
     # output (sub-cutoff contributions are zeroed anyway), fewer keys.
     if opacities is not None:
-        nsig = jnp.sqrt(2.0 * jnp.log(jnp.maximum(opacities * 255.0, 1.001)))
+        nsig = jnp.sqrt(2.0 * jnp.log(jnp.maximum(opacities * coef * 255.0, 1.001)))
         nsig = jnp.minimum(nsig, 3.0)
     else:
-        nsig = 3.0
+        nsig = jnp.full_like(lambda1, 3.0)
     radius = jnp.ceil(nsig * jnp.sqrt(jnp.maximum(lambda1, 1e-12)))
+    # Per-axis bbox half-extents: for the (dilated) 2D gaussian the marginal
+    # bound power <= -0.5 dx^2 / cov_xx holds (Schur complement), so outside
+    # the ellipse-aligned bbox alpha is below the 1/255 cutoff. Strictly
+    # tighter than the circumscribed circle for anisotropic gaussians.
+    radius_xy = jnp.ceil(
+        nsig[..., None]
+        * jnp.sqrt(jnp.maximum(cov2d[..., jnp.array([0, 2])], 1e-12))
+    )
 
     rgb = sh_lib.sh_to_rgb(sh_degree, shs, means3d, camera.cam_center)
     v2g = view_to_gaussian(means3d, scales, rotations, wv)
@@ -291,6 +300,7 @@ def preprocess(
         conic=conic,
         coef=coef,
         radius=radius,
+        radius_xy=radius_xy,
         rgb=rgb,
         v2g_M=v2g.M,
         v2g_u0=v2g.u0,

@@ -71,7 +71,8 @@ def render(
         opacities=opacities,
     )
     ntx, nty = binning.tile_grid(camera.width, camera.height)
-    rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+    rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty,
+                                   radius_xy=pre.radius_xy)
     b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity)
     # The 2D-dilation compensation is detached (its cov2D backward is disabled
     # in the reference, backward.cu:991-1007).

@@ -203,9 +203,22 @@ def build_train_step(
                 app_emb=jnp.zeros_like(tp.app_emb),
             )
 
-        updates, opt_state = tx.update(grads, opt_state, tp)
-        tp = optax.apply_updates(tp, updates)
-        gstate = gm.add_densification_stats(gstate, carrier_grad, aux["radii"], aux["visibility"])
+        # Key-overflow steps rendered with the deepest duplicated keys
+        # dropped; their gradients are polluted. Skip the whole update (the
+        # host grows the capacity and re-jits right after), keeping the step
+        # a no-op instead of training on a truncated list.
+        overflow = aux["key_overflow"]
+
+        def gate(old, new):
+            return jax.tree.map(
+                lambda a, b: jnp.where(overflow, a, b) if hasattr(b, "dtype") else b,
+                old, new)
+
+        updates, new_opt_state = tx.update(grads, opt_state, tp)
+        tp = gate(tp, optax.apply_updates(tp, updates))
+        opt_state = gate(opt_state, new_opt_state)
+        gstate = gate(gstate, gm.add_densification_stats(
+            gstate, carrier_grad, aux["radii"], aux["visibility"]))
         metrics = {k: aux[k] for k in ("l1", "ssim", "distortion", "depth_normal", "num_keys", "key_overflow", "psnr")}
         metrics["loss"] = loss
         return tp.gauss, tp.app_net, tp.app_emb, opt_state, gstate, metrics
@@ -262,7 +275,7 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
     sc = scene_lib.Scene(
         model_cfg.source_path, model_cfg.model_path, images=model_cfg.images,
         resolution=model_cfg.resolution, white_background=model_cfg.white_background,
-        eval_split=model_cfg.eval,
+        eval_split=model_cfg.eval, load_allres=model_cfg.load_allres,
     )
     config_lib.save_cfg(model_cfg.model_path, model_cfg, pipe, opt)
 
@@ -320,6 +333,10 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
             cam_cache[info.uid] = (cam, jnp.asarray(gt))
         return cam_cache[info.uid]
 
+    # >= 800px-wide cameras for the 30% high-res oversampling
+    # (reference train.py:112-116,139-141)
+    highres_infos = [c for c in sc.train_cameras if sc._scaled_size(c)[0] >= 800]
+
     log_path = os.path.join(model_cfg.model_path, "train_log.jsonl")
     logf = open(log_path, "a")
     tb = _make_tb_writer(model_cfg.model_path)
@@ -348,6 +365,10 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
             stack = list(sc.train_cameras)
             random.shuffle(stack)
         info = stack.pop()
+        # 30% high-res oversampling (train.py:139-141); the pop above still
+        # consumes a stack entry, as in the reference
+        if model_cfg.sample_more_highres and highres_infos and random.random() < 0.3:
+            info = highres_infos[random.randint(0, len(highres_infos) - 1)]
         camera, gt = get_cam(info)
 
         tp, opt_state, gstate, metrics = train_step(

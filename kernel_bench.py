@@ -55,7 +55,7 @@ def main():
         opac = jnp.asarray(rng.uniform(0.3, 0.9, n), jnp.float32)
         shs = rgb_to_sh_dc(jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32))[:, None, :]
         pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
-        rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+        rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty, radius_xy=pre.radius_xy)
         CAP = 1 << 21
         b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=CAP)
         op_eff = opac * jnp.where(pre.valid, pre.coef, 0.0)

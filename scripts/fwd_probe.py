@@ -37,7 +37,7 @@ bg = jnp.zeros(3)
 mv = rp._meta_vec(cam.focal_x, cam.focal_y, bg, W, H)
 
 pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1, opacities=opac)
-rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty, radius_xy=pre.radius_xy)
 b = jax.jit(lambda d: binning.bin_gaussians(d, rects, ntx, nty, CAPACITY))(pre.depth)
 op_eff = opac * jnp.where(pre.valid, pre.coef, 0.0)
 sigma6 = rp.pack_sigma6(pre.v2g_M)

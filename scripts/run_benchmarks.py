@@ -63,27 +63,45 @@ def main():
             )
     elif ns.dataset == "dtu":
         # run_dtu.py:8-21: -r2, decoupled appearance, lambda_distortion 1000;
-        # DTU geometry uses the TSDF mesh (run_dtu.py:26-42)
+        # DTU geometry uses the TSDF mesh (run_dtu.py:26-42) and chains the
+        # chamfer eval (cull + align + ObsMask/plane-filtered chamfer)
         for scan in DTU_SCANS:
             name = f"scan{scan}"
             if ns.scenes and name not in ns.scenes:
                 continue
+            model = os.path.join(ns.out_root, name)
             train_and_eval(
                 os.path.join(ns.data_root, name),
-                os.path.join(ns.out_root, name),
+                model,
                 ["-r", "2", "--use_decoupled_appearance", "--lambda_distortion", "1000"],
                 do_mesh=True, do_tsdf=True,
             )
+            if ns.dtu_eval_data:
+                run([sys.executable, "-m", "gof_tpu.eval.dtu",
+                     "--model_path", model, "--scan_id", str(scan),
+                     "--DTU", ns.dtu_eval_data])
     elif ns.dataset == "tnt":
-        # run_tnt.py:7-28: -r2, decoupled appearance; marching-tets mesh
+        # run_tnt.py:7-28: -r2, decoupled appearance; marching-tets mesh,
+        # then the trajectory-aligned F-score eval (run_tnt.py:33-40)
         for scene in TNT_SCENES:
             if ns.scenes and scene not in ns.scenes:
                 continue
+            model = os.path.join(ns.out_root, scene)
             train_and_eval(
                 os.path.join(ns.data_root, scene),
-                os.path.join(ns.out_root, scene),
+                model,
                 ["-r", "2", "--use_decoupled_appearance"],
             )
+            if ns.tnt_eval_data:
+                mesh = os.path.join(model, "test", "ours_30000", "fusion",
+                                    "mesh_binary_search_7.ply")
+                traj = os.path.join(ns.data_root, scene, f"{scene}_COLMAP_SfM.log")
+                cmd = [sys.executable, "-m", "gof_tpu.eval.tnt",
+                       "--dataset-dir", os.path.join(ns.tnt_eval_data, scene),
+                       "--ply-path", mesh]
+                if os.path.exists(traj):
+                    cmd += ["--traj-path", traj]
+                run(cmd)
     else:
         for scene in NERF_SYNTHETIC:
             if ns.scenes and scene not in ns.scenes:

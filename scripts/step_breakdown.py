@@ -16,7 +16,7 @@ from gof_tpu.sh import rgb_to_sh_dc
 
 N = 100_000
 W, H = 1237, 822
-CAPACITY = 1 << 20
+CAPACITY = 1_638_400  # what the training growth policy picks for this scene
 REPS = 8
 
 rng = np.random.default_rng(0)
@@ -63,7 +63,7 @@ d1 = t("preprocess", lambda m: quadrics.preprocess(m, scales, rots, shs, 0, cam,
                                                    opacities=opac).mean2d, means)
 
 # stage 2: rects + binning
-rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty, radius_xy=pre.radius_xy)
 d2 = t("bin_gaussians", lambda d: binning.bin_gaussians(
     d, rects, ntx, nty, CAPACITY).slot_to_gaussian, pre.depth)
 b = jax.jit(lambda d: binning.bin_gaussians(d, rects, ntx, nty, CAPACITY))(pre.depth)

@@ -65,3 +65,102 @@ class TestGeometryEval:
         red = geo.reduce_pcd(pts, 0.2)
         assert len(red) <= 6**3
         assert len(red) > 50
+
+
+class TestTrajectoryAlignment:
+    def _make_traj(self, rng, n=60):
+        centers = rng.normal(size=(n, 3)) * 3.0
+        poses = np.tile(np.eye(4), (n, 1, 1))
+        poses[:, :3, 3] = centers
+        return poses
+
+    def test_log_roundtrip(self, rng, tmp_path):
+        from gof_tpu.eval import tnt
+
+        poses = self._make_traj(rng, 12)
+        p = tmp_path / "traj.log"
+        with open(p, "w") as f:
+            for i, m in enumerate(poses):
+                f.write(f"{i} {i} 0\n")
+                for row in m:
+                    f.write(" ".join(str(v) for v in row) + "\n")
+        got = tnt.read_trajectory_log(str(p))
+        np.testing.assert_allclose(got, poses, atol=1e-12)
+
+    def test_recovers_known_similarity(self, rng):
+        from gof_tpu.eval import tnt
+
+        pred = rng.normal(size=(80, 3)) * 2.0
+        Rtrue, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(Rtrue) < 0:
+            Rtrue[:, 0] *= -1
+        strue, ttrue = 2.3, np.array([0.5, -1.0, 2.0])
+        gt = strue * pred @ Rtrue.T + ttrue
+        T, info = tnt.trajectory_alignment(pred, gt)
+        np.testing.assert_allclose(T[:3, :3], strue * Rtrue, atol=1e-6)
+        np.testing.assert_allclose(T[:3, 3], ttrue, atol=1e-6)
+        assert info["inliers"] == 80
+
+    def test_robust_to_outliers(self, rng):
+        from gof_tpu.eval import tnt
+
+        pred = rng.normal(size=(100, 3)) * 2.0
+        Rtrue = np.eye(3)
+        gt = 1.5 * pred @ Rtrue.T + np.array([1.0, 0.0, 0.0])
+        gt[::10] += rng.normal(size=(10, 3)) * 5.0  # 10% corrupted poses
+        T, info = tnt.trajectory_alignment(pred, gt)
+        np.testing.assert_allclose(T[:3, :3], 1.5 * Rtrue, atol=1e-3)
+        assert info["inliers"] >= 85
+
+    def test_icp_reports_convergence(self, rng):
+        gt = sphere_points(3000, 1.0, rng)
+        pred = gt + np.array([0.02, 0.0, 0.0])
+        T, err = geo.icp_point_to_point(pred, gt, threshold=0.5, return_error=True)
+        assert err["inlier_frac"] > 0.99
+        assert err["rmse"] < 0.02
+        assert err["iters"] >= 1
+
+
+class TestDtuProtocol:
+    def test_alignment_scale_normalization(self, rng):
+        from gof_tpu.eval import dtu
+
+        pred = rng.normal(size=(49, 3))
+        Rtrue, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(Rtrue) < 0:
+            Rtrue[:, 0] *= -1
+        gt = 7.0 * pred @ Rtrue.T + np.array([10.0, -3.0, 5.0])
+        scale, R, t = dtu.dtu_alignment(pred, np.concatenate([gt, gt[:15]]))
+        aligned = (pred * scale) @ R.T + t
+        np.testing.assert_allclose(aligned, gt, atol=1e-6)
+
+    def test_cull_mesh_all_views_semantics(self, rng):
+        """Reference rule (evaluate_dtu_mesh.py:118-127): keep a vertex iff
+        EVERY view sees it in the dilated mask or not at all."""
+        from gof_tpu import cameras
+        from gof_tpu.eval import dtu
+
+        cam = cameras.look_at_camera(eye=(0, 0, 0), target=(0, 0, 5.0),
+                                     width=64, height=64)
+        # vertex A: center of image, masked-in; B: center, masked-out;
+        # C: far outside the frustum
+        verts = np.array([[0, 0, 5.0], [-1.5, 0, 5.0], [100.0, 0, 5.0]])
+        mask = np.zeros((64, 64), np.float32)
+        mask[20:44, 20:44] = 1.0  # center box only
+        faces = np.array([[0, 1, 2]])
+        keep_v, faces_k = dtu.cull_mesh_by_masks(verts, faces, [cam], [mask],
+                                                 dilate_px=2)
+        assert keep_v[0]       # in mask
+        assert not keep_v[1]   # visible but outside mask
+        assert keep_v[2]       # outside frustum -> passes this view
+        assert len(faces_k) == 0  # face lost vertex B
+
+    def test_cull_without_mask_keeps_all(self, rng):
+        from gof_tpu import cameras
+        from gof_tpu.eval import dtu
+
+        cam = cameras.look_at_camera(eye=(0, 0, 0), target=(0, 0, 5.0),
+                                     width=64, height=64)
+        verts = np.array([[0, 0, 5.0], [0.5, 0.2, 4.0], [100.0, 0, 5.0]])
+        keep_v, _ = dtu.cull_mesh_by_masks(verts, None, [cam], [None])
+        assert keep_v.all()
