@@ -70,7 +70,11 @@ def bench_config(n, width, height, capacity, reps, label, sigma=-3.2, verbose=Fa
 
     opt = config_lib.OptimizationParams()
     model_cfg = config_lib.ModelParams(sh_degree=3, kernel_size=0.1)
-    pipe = config_lib.PipelineParams(backend="pallas", key_capacity=capacity)
+    # compact buffer at 1/4 capacity: the backward stores only live
+    # (pre-saturation) gradient rows — ~15% of keys at this overdraw; the
+    # overflow assert below guards the choice like the key capacity's.
+    pipe = config_lib.PipelineParams(backend="pallas", key_capacity=capacity,
+                                     compact_capacity=capacity // 4)
     from gof_tpu.model import appearance as app_lib
 
     tx = train_lib.make_optimizer(opt, spatial_lr_scale=5.0)
@@ -92,7 +96,8 @@ def bench_config(n, width, height, capacity, reps, label, sigma=-3.2, verbose=Fa
         jax.block_until_ready(m["loss"])
         print(f"# compiled phase(stats={with_stats},reg={with_reg}) in "
               f"{time.perf_counter()-tc0:.0f}s", file=sys.stderr)
-        nk, ov = int(m["num_keys"]), bool(m["key_overflow"])
+        nk = int(m["num_keys"])
+        ov = bool(m["key_overflow"]) or bool(m["compact_overflow"])
         t0 = time.perf_counter()
         for _ in range(reps):
             t, s, g, m = step_fn(t, s, g, gt, step, cam, bg)
@@ -102,7 +107,8 @@ def bench_config(n, width, height, capacity, reps, label, sigma=-3.2, verbose=Fa
 
     d_densify, nk, ov = time_phase(True, False, 5000)
     d_reg, _, _ = time_phase(False, True, 20000)
-    assert not ov, f"key overflow: {nk} > capacity {capacity}; raise --capacity"
+    assert not ov, (f"key/compact overflow: {nk} keys vs capacity {capacity}; "
+                    "raise --capacity")
     mean_dt = 0.5 * (d_densify + d_reg)
     if verbose:
         print(f"# {label}: gaussians={n} keys={nk} capacity={capacity} "

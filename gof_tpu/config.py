@@ -48,6 +48,10 @@ class PipelineParams:
     debug: bool = False
     # static duplicated-key capacity; host grows + re-jits on overflow
     key_capacity: int = 1 << 21
+    # static compact gradient-buffer capacity for the pallas backward
+    # (live, pre-saturation slot rows only); 0 = safe worst case. The host
+    # tightens it from observed demand on re-jits and grows it on overflow.
+    compact_capacity: int = 0
     # static Gaussian capacity headroom factor when growing
     capacity_headroom: float = 1.3
 

@@ -48,7 +48,7 @@ from ..constants import (
     TILE_W,
     TRANSMITTANCE_EPS,
 )
-from .binning import CHUNK_SIZE, Binning, reduce_per_gaussian
+from .binning import CHUNK_SIZE, Binning
 
 # ---------------------------------------------------------------------------
 # Payload layout: one row of 32 f32 per (tile, Gaussian) visit slot.
@@ -71,6 +71,10 @@ OUT_CH = 16
 CH_TFINAL = 9
 CH_DFINAL = 10
 CH_MEDIDX = 11
+# compact backward layout, written by the forward kernel (one scalar per
+# tile, broadcast over the lane dim): live chunk count and compact start
+CH_LIVEC = 12
+CH_CSTART = 13
 
 
 def pack_sigma6(M: jnp.ndarray) -> jnp.ndarray:
@@ -102,11 +106,15 @@ def build_payload32(rgb, op_eff, M, u0, sigma6, bvec, conic, mean2d, binning: Bi
             jnp.zeros((P, 1), rgb.dtype),  # 25
             conic,  # 26:29
             mean2d,  # 29:31
-            jnp.zeros((P, 1), rgb.dtype),  # 31
+            # 31: the gaussian id as an exact f32 value. The backward kernel
+            # echoes it into gradient row 31 so the compacted slot rows carry
+            # their own reduction ids (no separate gather/searchsorted).
+            jnp.arange(P, dtype=rgb.dtype)[:, None],
         ],
         axis=1,
     )
-    flat = jnp.concatenate([flat, jnp.zeros((1, P_COLS), flat.dtype)], axis=0)
+    sentinel = jnp.zeros((1, P_COLS), flat.dtype).at[0, 31].set(float(P))
+    flat = jnp.concatenate([flat, sentinel], axis=0)
     return flat[binning.slot_to_gaussian].T
 
 
@@ -262,8 +270,16 @@ def _rays_for_tile(tile_id, ntx, meta):
 
 
 def _fwd_kernel(ntx: int, with_reg: bool, bounds_ref, meta_ref,
-                payload_hbm, out_ref, pbuf, sem):
+                payload_hbm, out_ref, pbuf, sem, cur_ref):
     t_id = pl.program_id(0)
+
+    # Compact-layout cursor for the backward pass: the grid runs sequentially,
+    # so a running SMEM counter assigns each tile a contiguous CHUNK-aligned
+    # region sized by its live (pre-saturation) chunk count.
+    @pl.when(t_id == 0)
+    def _():
+        cur_ref[0] = 0
+
     seg_s = bounds_ref[t_id]
     seg_e = bounds_ref[t_id + 1]
     # DMA windows are CHUNK-aligned; head/tail rows outside [seg_s, seg_e)
@@ -370,9 +386,14 @@ def _fwd_kernel(ntx: int, with_reg: bool, bounds_ref, meta_ref,
     out_ref[0, CH_TFINAL, :] = T[0]
     out_ref[0, CH_DFINAL, :] = s1[0]
     out_ref[0, CH_MEDIDX, :] = med[0]
+    # compact layout for the backward: live chunk count + region start.
+    # c at loop exit = chunks actually processed; every later chunk lies
+    # past every pixel's saturation point and has exactly-zero gradients.
+    cstart = cur_ref[0]
+    cur_ref[0] = cstart + c * CHUNK_SIZE
     zero_row = jnp.zeros((NPIX,), jnp.float32)
-    out_ref[0, 12, :] = zero_row
-    out_ref[0, 13, :] = zero_row
+    out_ref[0, CH_LIVEC, :] = zero_row + c.astype(jnp.float32)
+    out_ref[0, CH_CSTART, :] = zero_row + cstart.astype(jnp.float32)
     out_ref[0, 14, :] = zero_row
     out_ref[0, 15, :] = zero_row
 
@@ -391,6 +412,7 @@ def rasterize_fwd_pallas(payload, binning: Binning, meta_vec, ntx: int, ntiles: 
         scratch_shapes=[
             pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -408,8 +430,9 @@ def rasterize_fwd_pallas(payload, binning: Binning, meta_vec, ntx: int, ntiles: 
 
 def _bwd_kernel(
     ntx: int, halfw: float, halfh: float, with_stats: bool, with_reg: bool,
-    bounds_ref, meta_ref, payload_hbm, fout_ref, gout_ref,
-    dslot_init_hbm, dslot_hbm, dbuf, pbuf, rbuf, sem, wsem, rsem,
+    compact_cap: int,
+    bounds_ref, live_ref, cstart_ref, meta_ref, payload_hbm, fout_ref, gout_ref,
+    dslot_init_hbm, dslot_hbm, dbuf, pbuf, sem, wsem,
 ):
     del dslot_init_hbm  # aliased with dslot_hbm; provides the zero background
     t_id = pl.program_id(0)
@@ -417,6 +440,16 @@ def _bwd_kernel(
     seg_e = bounds_ref[t_id + 1]
     base = pl.multiple_of((seg_s // CHUNK_SIZE) * CHUNK_SIZE, CHUNK_SIZE)
     nc = jnp.where(seg_e > seg_s, (seg_e - base + CHUNK_SIZE - 1) // CHUNK_SIZE, 0)
+    # Gradient rows land COMPACTED: this tile owns the CHUNK-aligned region
+    # [cstart, cstart + live*CHUNK) that the forward's sequential cursor
+    # assigned it. Chunks past `live` are saturated (exactly-zero rows) and
+    # are neither computed nor stored; if the compact buffer is too small the
+    # writes are clamped and the forward-side demand telemetry flags it.
+    # the cursor only ever advances by whole chunks; annotate so Mosaic can
+    # prove the compact write offsets are 128-lane aligned
+    cst = pl.multiple_of(cstart_ref[t_id], CHUNK_SIZE)
+    avail = jnp.maximum((compact_cap - cst) // CHUNK_SIZE, 0)
+    nc = jnp.minimum(jnp.minimum(nc, live_ref[t_id]), avail)
     rx, ry, R3, px, py = _rays_for_tile(t_id, ntx, meta_ref)
     bg0, bg1, bg2 = meta_ref[0, 2], meta_ref[0, 3], meta_ref[0, 4]
 
@@ -457,22 +490,13 @@ def _bwd_kernel(
     def copy_out(c, slot):
         return pltpu.make_async_copy(
             dbuf.at[slot],
-            dslot_hbm.at[:, pl.ds(base + c * CHUNK_SIZE, CHUNK_SIZE)],
+            dslot_hbm.at[:, pl.ds(cst + c * CHUNK_SIZE, CHUNK_SIZE)],
             wsem.at[slot],
-        )
-
-    # The head chunk is shared with preceding tiles' segments: earlier grid
-    # steps (the TPU grid runs sequentially in ascending order) already wrote
-    # their gradient rows there. Read-modify-write merges our rows in.
-    def copy_head_in():
-        return pltpu.make_async_copy(
-            dslot_hbm.at[:, pl.ds(base, CHUNK_SIZE)], rbuf, rsem
         )
 
     @pl.when(nc > 0)
     def _():
         copy_in(0, 0).start()
-        copy_head_in().start()
 
     row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_SIZE, 1), 0)
     ones_row = jnp.ones((1, NPIX), jnp.float32)
@@ -486,7 +510,9 @@ def _bwd_kernel(
             copy_in(c + 1, jax.lax.rem(c + 1, 2)).start()
 
         copy_in(c, slot).wait()
-        p = _transpose_mxu(pbuf[slot])  # [32, CHUNK] -> [CHUNK, 32]
+        pv = pbuf[slot]
+        p = _transpose_mxu(pv)  # [32, CHUNK] -> [CHUNK, 32]
+        gid_row = pv[31:32, :]  # exact f32 gaussian ids (build_payload32)
 
         grow = base + c * CHUNK_SIZE + row_i
         seg_mask = (grow >= seg_s) & (grow < seg_e)
@@ -614,7 +640,8 @@ def _bwd_kernel(
                 db_t,  # 22:25
                 zero1,  # 25
                 stats_t,  # 26:29
-                zero1, zero1, zero1,  # 29:32
+                zero1, zero1,  # 29:31
+                gid_row,  # 31: reduction id, rides the output DMA
             ],
             axis=0,
         )
@@ -625,13 +652,7 @@ def _bwd_kernel(
         def _():
             copy_out(c - 2, wslot).wait()
 
-        @pl.when(c == 0)
-        def _():
-            copy_head_in().wait()
-
-        # merge preceding tiles' rows on the shared head chunk (stale rbuf
-        # contents are gated off for c > 0)
-        dbuf[wslot] = jnp.where(c == 0, drow_t + rbuf[:], drow_t)
+        dbuf[wslot] = drow_t
         copy_out(c, wslot).start()
 
         T = T * f.prod_incl[CHUNK_SIZE - 1 : CHUNK_SIZE]
@@ -639,8 +660,10 @@ def _bwd_kernel(
         return (c + 1, T, PwF)
 
     # Early exit once every pixel is saturated: all remaining visits have
-    # w == 0 and produce exactly zero gradients; their dslot rows keep the
-    # zeros of the aliased input (see rasterize_bwd_pallas).
+    # w == 0 and produce exactly zero gradients. nc is already bounded by the
+    # forward's live count (same condition, same arithmetic), so this exits
+    # at c == nc in practice; any unwritten compact rows keep the zeros of
+    # the aliased input (see rasterize_bwd_pallas).
     def cond(carry):
         c, T, _ = carry
         return (c < nc) & (jnp.max(T) >= TRANSMITTANCE_EPS)
@@ -663,43 +686,60 @@ def _bwd_kernel(
         copy_out(c_end - 1, jax.lax.rem(c_end - 1, 2)).wait()
 
 
+def compact_capacity_for(capacity: int, ntiles: int) -> int:
+    """Compact-buffer size that can never overflow (every tile fully live)."""
+    return capacity + ntiles * CHUNK_SIZE
+
+
 def rasterize_bwd_pallas(
     payload, fout, gout, binning: Binning, meta_vec, ntx: int, ntiles: int,
     halfw: float, halfh: float, interpret=False, with_stats=True, with_reg=True,
+    compact_cap: int = 0,
 ):
-    """Run the backward kernel. Returns per-slot gradient rows [32, CAP]."""
+    """Run the backward kernel.
+
+    Returns COMPACTED per-slot gradient rows [32, compact_cap]: each tile's
+    live (pre-saturation) chunks are packed at the compact start the forward
+    assigned it (fout channels CH_LIVEC / CH_CSTART); row 31 carries the f32
+    gaussian id of each slot for the subsequent segment-sum. With the default
+    compact_cap = capacity + ntiles*CHUNK the packing cannot overflow; a
+    tighter cap must be guarded by the forward-side demand telemetry.
+    """
     cap = payload.shape[1]
+    if compact_cap <= 0:
+        compact_cap = compact_capacity_for(cap, ntiles)
+    live = fout[:, CH_LIVEC, 0].astype(jnp.int32)
+    cstart = fout[:, CH_CSTART, 0].astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda t, s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda t, *s: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, OUT_CH, NPIX), lambda t, s: (t, 0, 0)),
-            pl.BlockSpec((1, OUT_CH, NPIX), lambda t, s: (t, 0, 0)),
+            pl.BlockSpec((1, OUT_CH, NPIX), lambda t, *s: (t, 0, 0)),
+            pl.BlockSpec((1, OUT_CH, NPIX), lambda t, *s: (t, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),
             pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),
-            pltpu.VMEM((P_COLS, CHUNK_SIZE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
         ],
     )
-    # The output is aliased to a zero-initialized input so chunks skipped by
-    # the saturation early-exit keep exactly-zero gradient rows.
-    dslot_init = jnp.zeros((P_COLS, cap), jnp.float32)
+    # The output is aliased to a zero-initialized input so the region beyond
+    # the final cursor keeps exactly-zero gradient rows (id 0, zero add).
+    dslot_init = jnp.zeros((P_COLS, compact_cap), jnp.float32)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, ntx, halfw, halfh, with_stats, with_reg),
+        functools.partial(_bwd_kernel, ntx, halfw, halfh, with_stats, with_reg,
+                          compact_cap),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P_COLS, cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((P_COLS, compact_cap), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        input_output_aliases={5: 0},
-    )(binning.bounds, meta_vec, payload, fout, gout, dslot_init)
+        input_output_aliases={7: 0},
+    )(binning.bounds, live, cstart, meta_vec, payload, fout, gout, dslot_init)
 
 
 # ---------------------------------------------------------------------------
@@ -724,6 +764,11 @@ class RasterMeta(NamedTuple):
     # depth_normal_from_iter), where those cotangents are structurally zero
     # (train.py:157-166 ramps both regularizers from iter 15000).
     with_reg: bool = True
+    # static compact gradient-buffer capacity; 0 = the safe worst case
+    # (capacity + ntiles*CHUNK, never overflows). The train/bench paths set
+    # a tighter value (~25% of capacity) guarded by the forward's demand
+    # telemetry: saturated (dead) slot rows are never stored or reduced.
+    compact_cap: int = 0
 
 
 def _meta_vec(focal_x, focal_y, bg, width, height):
@@ -771,8 +816,13 @@ def _raster_bwd(meta, res, gout):
         payload, fout, gout, binning, mv, meta.ntx, meta.ntx * meta.nty,
         meta.width / 2.0, meta.height / 2.0, interpret=meta.interpret,
         with_stats=meta.with_stats, with_reg=meta.with_reg,
+        compact_cap=meta.compact_cap,
     )
-    per_g = reduce_per_gaussian(dslot_t.T, binning, P)
+    # Row 31 carries each compact row's gaussian id (payload col 31): padded
+    # sentinel slots carry P, the zero tail carries 0 with zero rows — both
+    # reduce harmlessly. ~4x fewer rows than the old CAP-wide segment-sum.
+    gid = dslot_t[31].astype(jnp.int32)
+    per_g = jax.ops.segment_sum(dslot_t.T, gid, num_segments=P + 1)[:P]
     drgb = per_g[:, 0:3]
     dop = per_g[:, 3]
     dM = per_g[:, 4:13].reshape(P, 3, 3)

@@ -33,6 +33,12 @@ class RenderOut(NamedTuple):
     visibility: jnp.ndarray
     num_keys: jnp.ndarray
     overflow: jnp.ndarray
+    # compact gradient-buffer telemetry (pallas backend): rows the backward
+    # will store (live, pre-saturation slots) and whether they exceed the
+    # static compact capacity (gradients would be clamped -> skip the step
+    # and re-jit with a larger compact buffer, like key overflow)
+    compact_demand: jnp.ndarray
+    compact_overflow: jnp.ndarray
 
 
 def render(
@@ -52,6 +58,7 @@ def render(
     interpret: bool = False,
     with_stats: bool = True,
     with_reg: bool = True,
+    compact_capacity: int = 0,
 ) -> RenderOut:
     """Render one view.
 
@@ -83,14 +90,21 @@ def render(
     if backend == "pallas":
         sigma6 = rp.pack_sigma6(pre.v2g_M)
         bvec = jnp.einsum("pji,pj->pi", pre.v2g_M, pre.v2g_u0)
+        ntiles = ntx * nty
+        ccap = compact_capacity or rp.compact_capacity_for(capacity, ntiles)
         meta = rp.RasterMeta(
             ntx=ntx, nty=nty, width=camera.width, height=camera.height,
             interpret=interpret, with_stats=with_stats, with_reg=with_reg,
+            compact_cap=ccap,
         )
         tile_out = rp.rasterize(
             meta, pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, sigma6, bvec,
             pre.conic, pre.mean2d, carrier, camera.focal_x, camera.focal_y, bg, b,
         )
+        last = jax.lax.stop_gradient(tile_out[ntiles - 1])
+        compact_demand = (last[rp.CH_CSTART, 0]
+                          + last[rp.CH_LIVEC, 0] * rp.CHUNK_SIZE).astype(jnp.int32)
+        compact_overflow = compact_demand > ccap
     elif backend == "xla":
         payload = tiled_ref.build_payload(pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, b)
         max_len = int(b.slot_to_gaussian.shape[0])  # static worst case
@@ -98,6 +112,8 @@ def render(
             payload, b, ntx, nty, camera.width, camera.height,
             camera.focal_x, camera.focal_y, bg, max_len,
         )
+        compact_demand = jnp.zeros((), jnp.int32)
+        compact_overflow = jnp.zeros((), bool)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
@@ -110,4 +126,6 @@ def render(
         visibility=radii > 0,
         num_keys=b.num_keys,
         overflow=b.overflow,
+        compact_demand=compact_demand,
+        compact_overflow=compact_overflow,
     )

@@ -153,6 +153,7 @@ def build_train_step(
                 kernel_size, bg, carrier=carrier, active_mask=gstate.active,
                 capacity=capacity, backend=backend, interpret=interpret,
                 with_stats=with_stats, with_reg=with_reg,
+                compact_capacity=pipe.compact_capacity,
             )
             image = out.image[:3]
             if use_app:
@@ -188,6 +189,8 @@ def build_train_step(
                 "depth_normal": depth_normal_loss, "radii": out.radii,
                 "visibility": out.visibility, "num_keys": out.num_keys,
                 "key_overflow": out.overflow, "psnr": losses.psnr(image, gt),
+                "compact_demand": out.compact_demand,
+                "compact_overflow": out.compact_overflow,
             }
             return loss, aux
 
@@ -204,10 +207,11 @@ def build_train_step(
             )
 
         # Key-overflow steps rendered with the deepest duplicated keys
-        # dropped; their gradients are polluted. Skip the whole update (the
+        # dropped, and compact-overflow steps clamped gradient-row writes;
+        # either way the gradients are polluted. Skip the whole update (the
         # host grows the capacity and re-jits right after), keeping the step
         # a no-op instead of training on a truncated list.
-        overflow = aux["key_overflow"]
+        overflow = aux["key_overflow"] | aux["compact_overflow"]
 
         def gate(old, new):
             return jax.tree.map(
@@ -219,7 +223,7 @@ def build_train_step(
         opt_state = gate(opt_state, new_opt_state)
         gstate = gate(gstate, gm.add_densification_stats(
             gstate, carrier_grad, aux["radii"], aux["visibility"]))
-        metrics = {k: aux[k] for k in ("l1", "ssim", "distortion", "depth_normal", "num_keys", "key_overflow", "psnr")}
+        metrics = {k: aux[k] for k in ("l1", "ssim", "distortion", "depth_normal", "num_keys", "key_overflow", "psnr", "compact_demand", "compact_overflow")}
         metrics["loss"] = loss
         return tp.gauss, tp.app_net, tp.app_emb, opt_state, gstate, metrics
 
@@ -343,6 +347,7 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
     stack = []
     key = jax.random.PRNGKey(0)
     ema_loss = None
+    compact_peak = 0
     t_start = time.time()
 
     # optional device tracing (the reference's analog is torch.cuda.Event
@@ -402,6 +407,7 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
         # Host reads force a device sync (~30ms through the TPU tunnel here),
         # so metrics are only materialized every 10 iterations.
         if iteration % 10 == 0 or iteration == 1:
+            rebuild = False
             if bool(metrics["key_overflow"]):
                 # Grow to the observed demand (num_keys is the true pre-drop
                 # total) with 30% headroom rather than blind doubling: every
@@ -411,10 +417,31 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
                 need = int(metrics["num_keys"])
                 new_cap = max(int(need * 1.3), int(pipe.key_capacity * 1.25))
                 pipe.key_capacity = -(-new_cap // 65536) * 65536
-                train_step = rebuild_step()
+                rebuild = True
                 if not quiet:
                     print(f"[{iteration}] key capacity grew to {pipe.key_capacity}"
                           f" (demand {need})")
+            # Compact gradient-buffer policy: the backward only stores live
+            # (pre-saturation) slot rows, typically ~15% of the keys. Track
+            # observed demand and keep the static buffer at ~1.5x its peak:
+            # the gradient segment-sum is latency-bound per row, so paying
+            # the safe worst case on every step costs ~20 ms at bench scale.
+            compact_peak = max(compact_peak, int(metrics["compact_demand"]))
+            if bool(metrics["compact_overflow"]):
+                need = int(metrics["compact_demand"])
+                new_cc = max(int(need * 1.3), int(max(pipe.compact_capacity, 1) * 1.25))
+                pipe.compact_capacity = -(-new_cc // 65536) * 65536
+                rebuild = True
+                if not quiet:
+                    print(f"[{iteration}] compact capacity grew to "
+                          f"{pipe.compact_capacity} (demand {need})")
+            elif rebuild:
+                # re-jitting anyway (key growth): re-fit the compact buffer
+                # to 1.5x peak demand (opacity resets spike it transiently)
+                pipe.compact_capacity = -(-max(int(compact_peak * 1.5), 65536)
+                                          // 65536) * 65536
+            if rebuild:
+                train_step = rebuild_step()
             loss = float(metrics["loss"])
             ema_loss = loss if ema_loss is None else 0.6 * loss + 0.4 * ema_loss
             rec = {

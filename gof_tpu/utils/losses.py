@@ -25,22 +25,37 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 _WIN = _gaussian_window()
 
 
+def _band_matrix(n: int) -> np.ndarray:
+    """[n, n] banded Gaussian-blur operator (zero SAME padding = the band
+    simply truncates at the edges, matching a zero-padded conv)."""
+    b = np.zeros((n, n), np.float32)
+    for k, wk in enumerate(_WIN):
+        off = k - 5
+        idx = np.arange(max(0, -off), min(n, n - off))
+        b[idx, idx + off] = wk
+    return b
+
+
+_BAND_CACHE: dict[int, np.ndarray] = {}
+
+
+def _band(n: int) -> jnp.ndarray:
+    if n not in _BAND_CACHE:
+        _BAND_CACHE[n] = _band_matrix(n)
+    return jnp.asarray(_BAND_CACHE[n])
+
+
 def _blur(x: jnp.ndarray) -> jnp.ndarray:
-    """Separable 11-tap Gaussian blur with zero SAME padding; x: [C, H, W]."""
-    w = jnp.asarray(_WIN)
-    C = x.shape[0]
-    kh = jnp.broadcast_to(w[None, None, :, None], (C, 1, 11, 1))
-    kw = jnp.broadcast_to(w[None, None, None, :], (C, 1, 1, 11))
-    x4 = x[None]
-    y = lax.conv_general_dilated(
-        x4, kh, (1, 1), [(5, 5), (0, 0)], dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=C, precision="highest",
-    )
-    y = lax.conv_general_dilated(
-        y, kw, (1, 1), [(0, 0), (5, 5)], dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=C, precision="highest",
-    )
-    return y[0]
+    """Separable 11-tap Gaussian blur with zero SAME padding; x: [C, H, W].
+
+    Expressed as two banded matmuls (Bh @ x @ Bw^T) rather than depthwise
+    convs: a 3-channel grouped conv leaves the MXU's 128-deep contraction
+    idle, while [H,H]x[H,W] matmuls run at full systolic throughput.
+    """
+    H, W = x.shape[-2:]
+    bh, bw = _band(H), _band(W)
+    y = jnp.einsum("hj,cjw->chw", bh, x, precision=lax.Precision.HIGHEST)
+    return jnp.einsum("chw,kw->chk", y, bw, precision=lax.Precision.HIGHEST)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:

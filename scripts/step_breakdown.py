@@ -81,7 +81,8 @@ payload = rp.build_payload32(pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, sigma6, bve
                              pre.conic, pre.mean2d, b)
 
 # stage 4/5: fwd + bwd pallas kernels (payload pre-built; kernel cost only)
-meta = rp.RasterMeta(ntx=ntx, nty=nty, width=W, height=H)
+meta = rp.RasterMeta(ntx=ntx, nty=nty, width=W, height=H,
+                     compact_cap=CAPACITY // 4)
 mv = rp._meta_vec(cam.focal_x, cam.focal_y, bg, W, H)
 ntiles = ntx * nty
 d4 = t("pallas forward kernel", lambda p: rp.rasterize_fwd_pallas(

@@ -55,6 +55,31 @@ class TestLosses:
         assert s < 0.7
         assert float(losses.ssim(img, img)) > 0.999
 
+    def test_ssim_torch_golden(self, rng):
+        # the reference's fused-ssim semantics: 11x11 sigma-1.5 Gaussian
+        # window, zero SAME padding, groups=C (loss_utils.py:17-64)
+        import torch
+        import torch.nn.functional as F
+
+        x = jnp.asarray(rng.random((3, 40, 52)), jnp.float32)
+        y = jnp.asarray(rng.random((3, 40, 52)), jnp.float32)
+        w1 = torch.tensor(losses._WIN)
+        win = (w1[:, None] @ w1[None, :])[None, None].repeat(3, 1, 1, 1)
+
+        def f(z):
+            return F.conv2d(z[None], win, padding=5, groups=3)[0]
+
+        i1 = torch.tensor(np.asarray(x))
+        i2 = torch.tensor(np.asarray(y))
+        mu1, mu2 = f(i1), f(i2)
+        s1 = f(i1 * i1) - mu1**2
+        s2 = f(i2 * i2) - mu2**2
+        s12 = f(i1 * i2) - mu1 * mu2
+        C1, C2 = 0.01**2, 0.03**2
+        m = ((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) / (
+            (mu1**2 + mu2**2 + C1) * (s1 + s2 + C2))
+        assert abs(float(m.mean()) - float(losses.ssim(x, y))) < 1e-5
+
     def test_psnr(self):
         a = jnp.zeros((3, 8, 8))
         b = jnp.full((3, 8, 8), 0.1)
