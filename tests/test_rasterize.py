@@ -91,6 +91,39 @@ class TestPallasForward:
         np.testing.assert_allclose(img[0], float(bg[0]), atol=1e-6)
         np.testing.assert_allclose(img[tiled_ref.CH_TFINAL], 1.0, atol=1e-6)
 
+    @pytest.mark.slow
+    def test_giant_gaussian_image_parity(self, rng):
+        """A near-camera Gaussian whose rect spans the whole tile grid (the
+        reference's rects are unbounded, forward.cu:363-371; round 1 clamped
+        them to 8x8 tiles — lifted since). The full image, including the far
+        corners the clamp used to lose, must match the XLA reference."""
+        means, scales, rots, opac, shs, cam = scene(rng, n=40, width=512, height=256)
+        means = jnp.concatenate(
+            [jnp.asarray([[0.0, 0.0, 2.2]], jnp.float32), means])
+        scales = jnp.concatenate(
+            [jnp.asarray([[2.5, 2.5, 2.5]], jnp.float32), scales])
+        rots = jnp.concatenate(
+            [jnp.asarray([[1.0, 0.0, 0.0, 0.0]], jnp.float32), rots])
+        opac = jnp.concatenate([jnp.asarray([0.55], jnp.float32), opac])
+        shs = jnp.concatenate(
+            [rgb_to_sh_dc(jnp.asarray([[0.2, 0.7, 0.3]], jnp.float32))[:, None, :],
+             shs])
+        pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
+        ntx, nty = binning.tile_grid(cam.width, cam.height)
+        rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+        assert int(rects.w[0]) * int(rects.h[0]) > 8 * 8  # rect >> old clamp
+        b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=2048)
+        op_eff = opac * jnp.where(pre.valid, jax.lax.stop_gradient(pre.coef), 0.0)
+        bg = jnp.array([0.15, 0.1, 0.2])
+        meta = rp.RasterMeta(ntx=ntx, nty=nty, width=cam.width, height=cam.height,
+                             interpret=True)
+        img_p = np.asarray(pallas_image(pre, b, op_eff, bg, cam, meta, ntx, nty))
+        img_x = np.asarray(xla_image(pre, b, op_eff, bg, cam, ntx, nty))
+        np.testing.assert_allclose(img_p[:9], img_x[:9], atol=1e-5, rtol=1e-4)
+        # the giant gaussian must actually tint the extreme corners
+        assert abs(img_p[1, 0, 0] - float(bg[1])) > 1e-3
+        assert abs(img_p[1, -1, -1] - float(bg[1])) > 1e-3
+
 
 class TestPallasBackward:
     @pytest.mark.slow
