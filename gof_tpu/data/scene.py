@@ -109,13 +109,13 @@ class Scene:
 
 
 def save_gaussians_ply(path: str, params, state, sh_degree: int) -> None:
-    import jax.numpy as jnp
+    from ..utils.hostio import device_get
 
-    act = np.asarray(state.active)
+    act = device_get(state.active)
     idx = np.nonzero(act)[0]
-    xyz = np.asarray(params.xyz)[idx]
-    f_dc = np.asarray(params.features_dc)[idx].reshape(len(idx), -1)  # [N, 3]
-    f_rest = np.asarray(params.features_rest)[idx]  # [N, K-1, 3]
+    xyz = device_get(params.xyz)[idx]
+    f_dc = device_get(params.features_dc)[idx].reshape(len(idx), -1)  # [N, 3]
+    f_rest = device_get(params.features_rest)[idx]  # [N, K-1, 3]
     # reference stores rest coefficients channel-major (K-1 per channel)
     f_rest_flat = f_rest.transpose(0, 2, 1).reshape(len(idx), -1)
     props = {"x": xyz[:, 0], "y": xyz[:, 1], "z": xyz[:, 2]}
@@ -124,14 +124,14 @@ def save_gaussians_ply(path: str, params, state, sh_degree: int) -> None:
         props[f"f_dc_{i}"] = f_dc[:, i]
     for i in range(f_rest_flat.shape[1]):
         props[f"f_rest_{i}"] = f_rest_flat[:, i]
-    props["opacity"] = np.asarray(params.opacity)[idx]
-    sc = np.asarray(params.scaling)[idx]
+    props["opacity"] = device_get(params.opacity)[idx]
+    sc = device_get(params.scaling)[idx]
     for i in range(3):
         props[f"scale_{i}"] = sc[:, i]
-    rot = np.asarray(params.rotation)[idx]
+    rot = device_get(params.rotation)[idx]
     for i in range(4):
         props[f"rot_{i}"] = rot[:, i]
-    props["filter_3D"] = np.asarray(state.filter_3d)[idx]
+    props["filter_3D"] = device_get(state.filter_3d)[idx]
     os.makedirs(os.path.dirname(path), exist_ok=True)
     ply.write_ply(path, props)
 

@@ -154,25 +154,36 @@ def bin_gaussians(
     starts = jnp.clip(off[:-1], 0, capacity - 1).astype(jnp.int32)
     in_cap = off[:-1] < capacity
 
-    # 2. expand per-Gaussian values to dup slots (delta-scatter + cumsum)
+    # 2. expand per-Gaussian values to dup slots. All six columns share ONE
+    #    delta-scatter (P rows, monotone indices) + ONE [CAP, 6] cumsum —
+    #    per-column scatters each pay the full per-row scatter latency.
     k = jnp.arange(capacity, dtype=jnp.int32)
     dup_valid = k < num_keys
-    off_exp = _expand(off[:-1], starts, in_cap, capacity)
-    gid = _expand(jnp.arange(P, dtype=jnp.int32), starts, in_cap, capacity)
-    rw = jnp.maximum(_expand(rects.w, starts, in_cap, capacity), 1)
-    x0e = _expand(rects.x0, starts, in_cap, capacity)
-    y0e = _expand(rects.y0, starts, in_cap, capacity)
+    cols = jnp.stack(
+        [
+            off[:-1],
+            jnp.arange(P, dtype=jnp.int32),
+            rects.w.astype(jnp.int32),
+            rects.x0.astype(jnp.int32),
+            rects.y0.astype(jnp.int32),
+            # depth sort bits: view depths are > 0, so the f32 bit pattern is
+            # order-preserving as int32 (the reference packs the same float
+            # bits into its radix key, rasterizer_impl.cu:102)
+            jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32),
+        ],
+        axis=1,
+    )  # [P, 6]
+    prev = jnp.concatenate([jnp.zeros((1, 6), jnp.int32), cols[:-1]], axis=0)
+    delta = jnp.where(in_cap[:, None], cols - prev, 0)
+    d = jnp.zeros((capacity, 6), jnp.int32).at[starts].add(
+        delta, mode="drop", indices_are_sorted=True)
+    exp = jnp.cumsum(d, axis=0)  # [CAP, 6]
+    off_exp, gid = exp[:, 0], exp[:, 1]
+    rw = jnp.maximum(exp[:, 2], 1)
+    x0e, y0e, depth_bits = exp[:, 3], exp[:, 4], exp[:, 5]
     j = k - off_exp
     tile = (y0e + j // rw) * ntx + x0e + j % rw  # [CAP]
     tile = jnp.where(dup_valid, tile, ntiles)  # sentinel sorts last
-
-    # depth sort bits: view depths are > 0, so the f32 bit pattern is
-    # order-preserving as int32 (the reference packs the same float bits
-    # into its radix key, rasterizer_impl.cu:102)
-    depth_bits = _expand(
-        jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32),
-        starts, in_cap, capacity,
-    )
 
     # 3. one sort by (tile, depth) carrying the gaussian ids
     tile_sorted, _, gauss_sorted = jax.lax.sort(

@@ -6,18 +6,23 @@ TPU-native replacement for renderCUDA forward/backward
 - grid = one program per 32x32-pixel tile; pixels live in the 1024 lanes of
   [G=128, 1024] blocks, so every VPU op is fully utilized;
 - the per-chunk linear algebra (ray-space direction d = M r, normal
-  n = Sigma r, and u0.d = b.r) is ONE MXU matmul [896, 3] @ [3, 1024];
+  n = Sigma r, and u0.d = b.r) is ONE MXU matmul [G, 32] @ [32, 5*1024]
+  against a per-tile selection basis (_geometry_basis);
 - blending is an associative scan: alphas for the whole chunk are computed in
   parallel, transmittance via a log-depth prefix product, accumulation via
   lane reductions. No per-Gaussian serial dependency beyond one multiply;
 - per-tile Gaussian lists are streamed from HBM with double-buffered DMA and
   chunk-level early exit once every pixel is saturated (the analog of the
-  CUDA per-block done vote, forward.cu:475-477);
-- the backward pass walks the same lists front-to-back, reconstructing
+  CUDA per-block done vote, forward.cu:475-477). The forward also assigns
+  each tile a COMPACT region sized by its live chunk count (a sequential-
+  grid SMEM cursor; fout channels CH_LIVEC/CH_CSTART);
+- the backward pass walks only the live prefix front-to-back, reconstructing
   suffix sums by subtraction from the forward totals (replacing the CUDA
   back-to-front re-walk, backward.cu:692-764), and writes per-visit gradient
-  rows to unique slots — no atomics; the deterministic per-Gaussian
-  reduction happens outside (binning.reduce_per_gaussian).
+  rows COMPACTED into the forward's layout — no atomics, and the ~88% of
+  slots past saturation (exactly-zero rows) are never stored. Row 31 carries
+  each slot's gaussian id, so the deterministic per-Gaussian reduction is a
+  single segment-sum over ~25% of capacity (_raster_bwd).
 
 Cotangent semantics replicate the reference's (documented) choices:
 - the depth-distortion gradient flows only through the mapped depth m, not
@@ -188,36 +193,51 @@ class _ChunkFwd(NamedTuple):
     prod_incl: jnp.ndarray  # inclusive prefix product of (1 - a)
 
 
-def _chunk_geometry(p, rx, ry, R3):
+# payload column ranges projected against the per-tile ray basis R3:
+# (M row 0, M row 1, M row 2, Sigma row 0, b)
+_GEOM_COLS = (4, 7, 10, 16, 22)
+
+
+def _geometry_basis(R3):
+    """[32, 5*PIX] block-diagonal-ish selection basis: group g holds R3 at
+    payload rows _GEOM_COLS[g]:+3, zeros elsewhere. Built ONCE per tile and
+    reused by every chunk, so the five skinny per-group matmuls collapse to
+    one [G, 32] @ [32, 5*PIX] MXU call per chunk (a skinny MXU issue carries
+    ~1.5 us fixed latency, which dominates at 0.8 MFLOP apiece)."""
+    blocks = []
+    for c in _GEOM_COLS:
+        blocks.append(jnp.concatenate(
+            [jnp.zeros((c, NPIX), jnp.float32), R3,
+             jnp.zeros((P_COLS - c - 3, NPIX), jnp.float32)], axis=0))
+    return jnp.concatenate(blocks, axis=1)
+
+
+def _chunk_geometry(p, rx, ry, basis5):
     """Ray-space linear algebra for one [CHUNK, 32] payload block: directions
-    d = M r, normals n = Sigma r, ud = b.r, dd = |d|^2, peak depth t.
-    The matmuls ride the MXU ([G, 3] @ [3, PIX])."""
-
-    def mm(rows):
-        return jnp.dot(rows, R3, preferred_element_type=jnp.float32)
-
-    d0 = mm(p[:, 4:7])
-    d1 = mm(p[:, 7:10])
-    d2 = mm(p[:, 10:13])
-    n0 = mm(p[:, 16:19])  # Sigma row 0 (xx, xy, xz)
+    d = M r, normals n = Sigma r, ud = b.r, dd = |d|^2, peak depth t."""
+    out = jnp.dot(p, basis5, preferred_element_type=jnp.float32)  # [G, 5*PIX]
+    d0 = out[:, 0:NPIX]
+    d1 = out[:, NPIX : 2 * NPIX]
+    d2 = out[:, 2 * NPIX : 3 * NPIX]
+    n0 = out[:, 3 * NPIX : 4 * NPIX]  # Sigma row 0 (xx, xy, xz)
+    ud = out[:, 4 * NPIX : 5 * NPIX]
     # Sigma rows 1/2 are non-contiguous in the 6-vector: n1/n2 via VPU madds.
     n1 = p[:, 17:18] * rx + p[:, 19:20] * ry + p[:, 20:21]
     n2 = p[:, 18:19] * rx + p[:, 20:21] * ry + p[:, 21:22]
-    ud = mm(p[:, 22:25])
 
     dd = rx * n0 + ry * n1 + n2 + 1e-12  # = r^T Sigma r = |d|^2
     t = -ud / dd
     return d0, d1, d2, n0, n1, n2, ud, dd, t
 
 
-def _chunk_terms(p, rx, ry, R3, need_normals=True, seg_mask=None):
+def _chunk_terms(p, rx, ry, basis5, need_normals=True, seg_mask=None):
     """Per-pair blend quantities for one [CHUNK, 32] payload block.
 
     seg_mask: [CHUNK, 1] bool — False for rows belonging to a neighboring
     tile's segment (unaligned head/tail of the DMA window); they blend and
     backpropagate as exact zeros.
     """
-    d0, d1, d2, n0, n1, n2, ud, dd, t = _chunk_geometry(p, rx, ry, R3)
+    d0, d1, d2, n0, n1, n2, ud, dd, t = _chunk_geometry(p, rx, ry, basis5)
     u0x, u0y, u0z = p[:, 13:14], p[:, 14:15], p[:, 15:16]
     v0 = u0x + t * d0
     v1 = u0y + t * d1
@@ -287,6 +307,7 @@ def _fwd_kernel(ntx: int, with_reg: bool, bounds_ref, meta_ref,
     base = pl.multiple_of((seg_s // CHUNK_SIZE) * CHUNK_SIZE, CHUNK_SIZE)
     nc = jnp.where(seg_e > seg_s, (seg_e - base + CHUNK_SIZE - 1) // CHUNK_SIZE, 0)
     rx, ry, R3, _, _ = _rays_for_tile(t_id, ntx, meta_ref)
+    basis5 = _geometry_basis(R3)
     bg0, bg1, bg2 = meta_ref[0, 2], meta_ref[0, 3], meta_ref[0, 4]
 
     def copy_in(c, slot):
@@ -330,7 +351,7 @@ def _fwd_kernel(ntx: int, with_reg: bool, bounds_ref, meta_ref,
 
         grow = base + c * CHUNK_SIZE + row_i
         seg_mask = (grow >= seg_s) & (grow < seg_e)
-        f = _chunk_terms(p, rx, ry, R3, need_normals=with_reg, seg_mask=seg_mask)
+        f = _chunk_terms(p, rx, ry, basis5, need_normals=with_reg, seg_mask=seg_mask)
         T_excl = T * _shift_down(f.prod_incl, 1, 1.0)
         w = f.a * T_excl * (T_excl > TRANSMITTANCE_EPS)
 
@@ -451,6 +472,7 @@ def _bwd_kernel(
     avail = jnp.maximum((compact_cap - cst) // CHUNK_SIZE, 0)
     nc = jnp.minimum(jnp.minimum(nc, live_ref[t_id]), avail)
     rx, ry, R3, px, py = _rays_for_tile(t_id, ntx, meta_ref)
+    basis5 = _geometry_basis(R3)
     bg0, bg1, bg2 = meta_ref[0, 2], meta_ref[0, 3], meta_ref[0, 4]
 
     # per-pixel cotangents and forward totals
@@ -516,7 +538,7 @@ def _bwd_kernel(
 
         grow = base + c * CHUNK_SIZE + row_i
         seg_mask = (grow >= seg_s) & (grow < seg_e)
-        f = _chunk_terms(p, rx, ry, R3, need_normals=with_reg, seg_mask=seg_mask)
+        f = _chunk_terms(p, rx, ry, basis5, need_normals=with_reg, seg_mask=seg_mask)
         T_excl = T * _shift_down(f.prod_incl, 1, 1.0)
         cutoff = T_excl > TRANSMITTANCE_EPS
         w = f.a * T_excl * cutoff
@@ -590,32 +612,35 @@ def _bwd_kernel(
             gx = dL_dG2 * (-f.E) * (ca * dxp + cb * dyp) * halfw
             gy = dL_dG2 * (-f.E) * (cb * dxp + cc * dyp) * halfh
 
-        # reduce over pixels into per-slot gradient rows; the NT-dot
-        # dot_nt(basis [k, PIX], X [G, PIX]) -> [k, G] yields the transposed
-        # [32, CHUNK] layout the output DMA needs directly (MXU).
+        # Reduce over pixels into per-slot gradient rows. All ~12-15
+        # projections (basis [k, PIX] . X [G, PIX] -> [k, G]) are batched
+        # into ONE MXU call: basis rows stack to [7, PIX], the X blocks
+        # stack along the G axis, and each result is a sub-block of the
+        # [7, nb*G] product — a skinny matmul's ~1.5 us fixed latency would
+        # otherwise dominate the backward at ~0.8 MFLOP apiece.
         Gn = CHUNK_SIZE
-        dM0_t = _dot_nt(R3, dd0)  # [3, G] = rows (d/drx, d/dry, d/d1) of dM row 0
-        dM1_t = _dot_nt(R3, dd1)
-        dM2_t = _dot_nt(R3, dd2)
-        dn0_t = _dot_nt(R3, dn0)
-        dn1_t = _dot_nt(R3, dn1)
-        dn2_t = _dot_nt(R3, dn2)
-        db_t = _dot_nt(R3, dL_dud)
-        drgb_t = _dot_nt(G_RGB, w)
-        du0_t = jnp.concatenate(
-            [_dot_nt(ones_row, dv0), _dot_nt(ones_row, dv1), _dot_nt(ones_row, dv2)],
-            axis=0,
-        )
-        dop_t = _dot_nt(ones_row, dop_pix)
+        basis = jnp.concatenate([R3, G_RGB, ones_row], axis=0)  # [7, PIX]
+        rhs = [dd0, dd1, dd2, dn0, dn1, dn2, dL_dud, w, dv0, dv1, dv2, dop_pix]
+        if with_stats:
+            rhs += [gx, gy, jnp.abs(gx) + jnp.abs(gy)]
+        out_all = _dot_nt(basis, jnp.concatenate(rhs, axis=0))  # [7, nb*G]
+
+        def blk(i, r0, r1):
+            return out_all[r0:r1, i * Gn : (i + 1) * Gn]
+
+        dM0_t = blk(0, 0, 3)  # [3, G] = rows (d/drx, d/dry, d/d1) of dM row 0
+        dM1_t = blk(1, 0, 3)
+        dM2_t = blk(2, 0, 3)
+        dn0_t = blk(3, 0, 3)
+        dn1_t = blk(4, 0, 3)
+        dn2_t = blk(5, 0, 3)
+        db_t = blk(6, 0, 3)
+        drgb_t = blk(7, 3, 6)
+        du0_t = jnp.concatenate([blk(8, 6, 7), blk(9, 6, 7), blk(10, 6, 7)], axis=0)
+        dop_t = blk(11, 6, 7)
         if with_stats:
             stats_t = jnp.concatenate(
-                [
-                    _dot_nt(ones_row, gx),
-                    _dot_nt(ones_row, gy),
-                    _dot_nt(ones_row, jnp.abs(gx) + jnp.abs(gy)),
-                ],
-                axis=0,
-            )
+                [blk(12, 6, 7), blk(13, 6, 7), blk(14, 6, 7)], axis=0)
         else:
             stats_t = jnp.zeros((3, CHUNK_SIZE), jnp.float32)
         dsig_t = jnp.concatenate(

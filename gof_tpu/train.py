@@ -37,7 +37,7 @@ from .model import appearance as app_lib
 from .model import gaussians as gm
 from .ops import render as render_lib
 from .ops.blend import pixel_rays
-from .utils import losses, schedules
+from .utils import hostio, losses, schedules
 
 
 class TrainParams(NamedTuple):
@@ -46,9 +46,23 @@ class TrainParams(NamedTuple):
     app_emb: Optional[jnp.ndarray]
 
 
+class FusedAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: TrainParams  # moments shaped exactly like the params so densify's
+    nu: TrainParams  # slot-zeroing and capacity growth treat them uniformly
+
+
 def make_optimizer(opt: config_lib.OptimizationParams, spatial_lr_scale: float):
-    """Per-group Adam (training_setup, gaussian_model.py:342-364): eps 1e-15,
-    exp position schedule scaled by the scene extent."""
+    """Fused per-group Adam (training_setup, gaussian_model.py:342-364):
+    eps 1e-15, exp position schedule scaled by the scene extent.
+
+    The reference keeps one torch Adam with 8 param groups. A literal
+    optax.multi_transform translation spends ~4 ms/step in ~50 tiny fused
+    kernels at 100k gaussians (per-fusion overhead, not bandwidth), so the
+    six gaussian groups run the identical Adam math over one concatenated
+    [P, C] buffer with a per-column learning rate; the appearance params run
+    per-leaf. Moments live in TrainParams-shaped pytrees.
+    """
 
     def xyz_lr(step):
         return schedules.expon_lr(
@@ -60,30 +74,76 @@ def make_optimizer(opt: config_lib.OptimizationParams, spatial_lr_scale: float):
             lr_delay_steps=0,
         )
 
-    def adam(lr):
-        return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-15)
+    b1, b2, eps = 0.9, 0.999, 1e-15
 
-    labels = TrainParams(
-        gauss=gm.GaussianParams(
-            xyz="xyz", features_dc="f_dc", features_rest="f_rest",
-            scaling="scaling", rotation="rotation", opacity="opacity",
-        ),
-        app_net="app_net",
-        app_emb="app_emb",
-    )
-    return optax.multi_transform(
-        {
-            "xyz": adam(xyz_lr),
-            "f_dc": adam(opt.feature_lr),
-            "f_rest": adam(opt.feature_lr / 20.0),
-            "scaling": adam(opt.scaling_lr),
-            "rotation": adam(opt.rotation_lr),
-            "opacity": adam(opt.opacity_lr),
-            "app_net": adam(opt.appearance_network_lr),
-            "app_emb": adam(opt.appearance_embeddings_lr),
-        },
-        labels,
-    )
+    def init(params: TrainParams):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return FusedAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=z, nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update(grads: TrainParams, state: FusedAdamState, params=None):
+        del params
+        count_inc = state.count + 1
+        cf = count_inc.astype(jnp.float32)
+        bc1 = 1.0 - b1**cf
+        bc2 = 1.0 - b2**cf
+
+        def adam_leaf(g, m, v, lr):
+            m2 = b1 * m + (1.0 - b1) * g
+            v2 = b2 * v + (1.0 - b2) * g * g
+            upd = (-lr) * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+            return upd, m2, v2
+
+        # --- gaussian groups: one [P, C] buffer, per-column lr ---
+        gg = grads.gauss
+        P = gg.xyz.shape[0]
+        leaves = list(gg)  # xyz, f_dc, f_rest, scaling, rotation, opacity
+        cols = [int(np.prod(l.shape[1:])) if l.ndim > 1 else 1 for l in leaves]
+        lrs = [xyz_lr(state.count), opt.feature_lr, opt.feature_lr / 20.0,
+               opt.scaling_lr, opt.rotation_lr, opt.opacity_lr]
+        lr_cols = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(lr, jnp.float32)[None], (c,))
+             for lr, c in zip(lrs, cols)])
+
+        def flat(t):
+            return jnp.concatenate([l.reshape(P, -1) for l in t], axis=1)
+
+        upd_f, mu_f, nu_f = adam_leaf(
+            flat(gg), flat(state.mu.gauss), flat(state.nu.gauss), lr_cols[None, :])
+
+        def unflat(f):
+            parts = jnp.split(f, np.cumsum(cols)[:-1], axis=1)
+            return gm.GaussianParams(
+                *[p.reshape(l.shape) for p, l in zip(parts, leaves)])
+
+        # --- appearance params: per-leaf (few, small) ---
+        def app_update(gtree, mtree, vtree, lr):
+            if gtree is None:
+                return None, None, None
+            trip = jax.tree.map(lambda g, m, v: adam_leaf(g, m, v, lr),
+                                gtree, mtree, vtree)
+            pick = lambda i: jax.tree.map(
+                lambda t: t[i], trip, is_leaf=lambda t: isinstance(t, tuple))
+            return pick(0), pick(1), pick(2)
+
+        upd_net, mu_net, nu_net = app_update(
+            grads.app_net, state.mu.app_net, state.nu.app_net,
+            opt.appearance_network_lr)
+        upd_emb, mu_emb, nu_emb = app_update(
+            grads.app_emb, state.mu.app_emb, state.nu.app_emb,
+            opt.appearance_embeddings_lr)
+
+        updates = TrainParams(gauss=unflat(upd_f), app_net=upd_net, app_emb=upd_emb)
+        new_state = FusedAdamState(
+            count=count_inc,
+            mu=TrainParams(gauss=unflat(mu_f), app_net=mu_net, app_emb=mu_emb),
+            nu=TrainParams(gauss=unflat(nu_f), app_net=nu_net, app_emb=nu_emb),
+        )
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
 
 
 def depth_to_normal(camera: cameras_lib.Camera, depth: jnp.ndarray) -> jnp.ndarray:
@@ -101,8 +161,7 @@ def depth_to_normal(camera: cameras_lib.Camera, depth: jnp.ndarray) -> jnp.ndarr
     # rsqrt(sum + eps): jnp.linalg.norm has a NaN gradient at exactly 0, and
     # background pixels produce zero normals
     n = n * jax.lax.rsqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
-    out = jnp.zeros_like(points)
-    out = out.at[1:-1, 1:-1].set(n)
+    out = jnp.pad(n, ((1, 1), (1, 1), (0, 0)))
     return out.transpose(2, 0, 1)
 
 
@@ -225,12 +284,28 @@ def build_train_step(
             gstate, carrier_grad, aux["radii"], aux["visibility"]))
         metrics = {k: aux[k] for k in ("l1", "ssim", "distortion", "depth_normal", "num_keys", "key_overflow", "psnr", "compact_demand", "compact_overflow")}
         metrics["loss"] = loss
+        # ONE packed vector for the host's periodic log read: each separate
+        # scalar readback pays a full device-sync RTT (~30 ms through the
+        # TPU tunnel); eight of them every 10 iterations would dominate the
+        # step time. Counts < 2^24 are exact in f32.
+        metrics["step_next"] = step + 1
+        metrics["packed"] = jnp.stack([
+            loss, aux["psnr"],
+            aux["num_keys"].astype(jnp.float32),
+            aux["key_overflow"].astype(jnp.float32),
+            aux["compact_demand"].astype(jnp.float32),
+            aux["compact_overflow"].astype(jnp.float32),
+            jnp.sum(gstate.active).astype(jnp.float32),
+        ])
         return tp.gauss, tp.app_net, tp.app_emb, opt_state, gstate, metrics
 
     def wrapped(tp: TrainParams, opt_state, gstate, gt, step, camera, bg):
         g2, an2, ae2, opt_state, gstate, metrics = train_step(
             tp.gauss, tp.app_net, tp.app_emb, opt_state, gstate, gt, step, camera, bg
         )
+        # metrics["step_next"] = step + 1 rides the jit so the loop keeps
+        # its counter ON DEVICE: a per-iteration host->device scalar
+        # transfer through the TPU tunnel blocks for a full RTT
         return TrainParams(gauss=g2, app_net=an2, app_emb=ae2), opt_state, gstate, metrics
 
     return wrapped
@@ -348,6 +423,11 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
     key = jax.random.PRNGKey(0)
     ema_loss = None
     compact_peak = 0
+    key_peak = 0
+    from .constants import TILE_W
+    ntiles_max = max((-(-cw // TILE_W)) * (-(-ch // TILE_W))
+                     for cw, ch in (sc._scaled_size(c) for c in sc.train_cameras))
+    step_dev = None  # device-resident iteration counter (seeded lazily)
     t_start = time.time()
 
     # optional device tracing (the reference's analog is torch.cuda.Event
@@ -376,9 +456,12 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
             info = highres_infos[random.randint(0, len(highres_infos) - 1)]
         camera, gt = get_cam(info)
 
+        if step_dev is None:  # (re)seed the device-resident step counter
+            step_dev = jnp.asarray(iteration, jnp.int32)
         tp, opt_state, gstate, metrics = train_step(
-            tp, opt_state, gstate, gt, jnp.asarray(iteration, jnp.int32), camera, bg
+            tp, opt_state, gstate, gt, step_dev, camera, bg
         )
+        step_dev = metrics["step_next"]
 
         # --- host control flow (train.py:237-278) ---
         if iteration < opt.densify_until_iter:
@@ -407,14 +490,17 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
         # Host reads force a device sync (~30ms through the TPU tunnel here),
         # so metrics are only materialized every 10 iterations.
         if iteration % 10 == 0 or iteration == 1:
+            # single batched readback (see metrics["packed"])
+            (m_loss, m_psnr, m_keys, m_key_ov, m_cdem, m_cov,
+             m_points) = np.asarray(metrics["packed"]).tolist()
             rebuild = False
-            if bool(metrics["key_overflow"]):
+            if m_key_ov:
                 # Grow to the observed demand (num_keys is the true pre-drop
                 # total) with 30% headroom rather than blind doubling: every
                 # capacity-bound stage (binning expansions/sort/relayout,
                 # payload gather, gradient reduce) scales with this static
                 # size, so overshoot is paid on every subsequent step.
-                need = int(metrics["num_keys"])
+                need = int(m_keys)
                 new_cap = max(int(need * 1.3), int(pipe.key_capacity * 1.25))
                 pipe.key_capacity = -(-new_cap // 65536) * 65536
                 rebuild = True
@@ -426,9 +512,9 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
             # observed demand and keep the static buffer at ~1.5x its peak:
             # the gradient segment-sum is latency-bound per row, so paying
             # the safe worst case on every step costs ~20 ms at bench scale.
-            compact_peak = max(compact_peak, int(metrics["compact_demand"]))
-            if bool(metrics["compact_overflow"]):
-                need = int(metrics["compact_demand"])
+            compact_peak = max(compact_peak, int(m_cdem))
+            if m_cov:
+                need = int(m_cdem)
                 new_cc = max(int(need * 1.3), int(max(pipe.compact_capacity, 1) * 1.25))
                 pipe.compact_capacity = -(-new_cc // 65536) * 65536
                 rebuild = True
@@ -440,15 +526,37 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
                 # to 1.5x peak demand (opacity resets spike it transiently)
                 pipe.compact_capacity = -(-max(int(compact_peak * 1.5), 65536)
                                           // 65536) * 65536
+            key_peak = max(key_peak, int(m_keys))
+            if not rebuild and iteration % 500 == 0:
+                # Right-size DOWN: every capacity-proportional stage (sort,
+                # gather, reduce) pays the static size on every step, so an
+                # oversized capacity (initial default, or post-opacity-reset
+                # shrinkage) is pure waste. Only act on >1.5x slack to avoid
+                # re-jit thrash; overflow handling above grows it back.
+                align = lambda v, lo: -(-max(int(v), lo) // 65536) * 65536
+                want_kc = align(key_peak * 1.3, 131072)
+                cc_eff = pipe.compact_capacity or (
+                    pipe.key_capacity + ntiles_max * 128)
+                want_cc = align(compact_peak * 1.5, 65536)
+                if (want_kc * 1.5 < pipe.key_capacity
+                        or want_cc * 1.5 < cc_eff):
+                    pipe.key_capacity = min(want_kc, pipe.key_capacity)
+                    pipe.compact_capacity = min(want_cc, cc_eff)
+                    rebuild = True
+                    if not quiet:
+                        print(f"[{iteration}] right-sized capacities: keys "
+                              f"{pipe.key_capacity} compact {pipe.compact_capacity}")
+                key_peak = 0
+                compact_peak = 0
             if rebuild:
                 train_step = rebuild_step()
-            loss = float(metrics["loss"])
+            loss = float(m_loss)
             ema_loss = loss if ema_loss is None else 0.6 * loss + 0.4 * ema_loss
             rec = {
                 "iter": iteration, "loss": round(loss, 5), "ema": round(ema_loss, 5),
-                "psnr": round(float(metrics["psnr"]), 3),
-                "points": int(jnp.sum(gstate.active)),
-                "keys": int(metrics["num_keys"]),
+                "psnr": round(float(m_psnr), 3),
+                "points": int(m_points),
+                "keys": int(m_keys),
                 "elapsed": round(time.time() - t_start, 1),
             }
             logf.write(json.dumps(rec) + "\n")
@@ -558,7 +666,7 @@ def save_checkpoint(model_path, iteration, tp, opt_state, gstate):
     import pickle
 
     path = os.path.join(model_path, f"chkpnt{iteration}.pkl")
-    blob = jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+    blob = jax.tree.map(lambda x: hostio.device_get(x) if hasattr(x, "shape") else x,
                         {"tp": tp, "opt_state": opt_state, "gstate": gstate, "iter": iteration})
     with open(path, "wb") as f:
         pickle.dump(blob, f)

@@ -54,8 +54,10 @@ def _blur(x: jnp.ndarray) -> jnp.ndarray:
     """
     H, W = x.shape[-2:]
     bh, bw = _band(H), _band(W)
-    y = jnp.einsum("hj,cjw->chw", bh, x, precision=lax.Precision.HIGHEST)
-    return jnp.einsum("chw,kw->chk", y, bw, precision=lax.Precision.HIGHEST)
+    # HIGH = 3-pass bf16 (~1e-6 relative): indistinguishable for an 11-tap
+    # blur of [0,1] images, ~2x faster than HIGHEST f32 on the MXU
+    y = jnp.einsum("hj,cjw->chw", bh, x, precision=lax.Precision.HIGH)
+    return jnp.einsum("chw,kw->chk", y, bw, precision=lax.Precision.HIGH)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:

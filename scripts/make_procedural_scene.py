@@ -1,0 +1,266 @@
+"""Full-resolution procedural multi-view scene for real-scale training runs.
+
+No real dataset is mountable in this environment, so the bicycle-scale
+validation (VERDICT item 3) trains against a ray-traced procedural scene:
+a textured ground plane + spheres + boxes shaded with view-independent
+lambertian light and high-frequency 3D textures. Every pixel is a pure
+function of the 3D hit point, so the views are exactly multi-view
+consistent and the texture detail forces densification to work.
+
+Writes a Blender-format scene dir (transforms_{train,test}.json + RGBA
+PNGs + points3d.ply) at any resolution, default 1237x822 (the -r4
+Mip-NeRF 360 "bicycle" size anchored in BASELINE.md).
+"""
+import argparse
+import json
+import os
+
+import numpy as np
+
+SPHERES = [  # center, radius, material id
+    (np.array([0.0, -0.2, 0.0]), 0.8, 2),
+    (np.array([1.6, -0.5, -0.9]), 0.5, 3),
+    (np.array([-1.5, -0.45, 0.8]), 0.55, 4),
+    (np.array([0.6, -0.7, 1.5]), 0.3, 5),
+]
+BOXES = [  # lo, hi, material id
+    (np.array([-2.6, -1.0, -1.8]), np.array([-1.8, 0.1, -1.0]), 6),
+    (np.array([1.1, -1.0, 0.4]), np.array([1.7, -0.3, 1.0]), 7),
+]
+PLANE_Y = -1.0
+LIGHT = np.array([0.45, 0.8, 0.35]) / np.linalg.norm([0.45, 0.8, 0.35])
+
+
+def _fbm(p, f0, seed):
+    """Cheap band-limited 3D value noise from summed sines."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    v = np.zeros_like(x)
+    rng = np.random.default_rng(seed)
+    for octave in range(3):
+        f = f0 * (2.0**octave)
+        a, b, c = rng.uniform(0, 2 * np.pi, 3)
+        d = rng.uniform(-1, 1, (3, 3))
+        v += (np.sin(f * (x * d[0, 0] + y * d[0, 1] + z * d[0, 2]) + a)
+              * np.sin(f * (x * d[1, 0] + y * d[1, 1] + z * d[1, 2]) + b)
+              + 0.5 * np.sin(f * (x * d[2, 0] + y * d[2, 1] + z * d[2, 2]) + c)
+              ) / (2.0**octave)
+    return v / 3.0
+
+
+def albedo(p, mat):
+    """Procedural per-material albedo from the 3D point."""
+    out = np.zeros(p.shape[:-1] + (3,), np.float32)
+    x, z = p[..., 0], p[..., 2]
+    # 0: sky (unused), 1: plane checker + noise
+    m = mat == 1
+    if m.any():
+        check = ((np.floor(x * 2) + np.floor(z * 2)) % 2)
+        base = np.where(check > 0.5, 0.62, 0.25)
+        n = _fbm(p, 5.0, 11) * 0.18
+        g = np.clip(base + n, 0, 1)
+        out[m] = np.stack([g * 0.9, g, g * 0.75], axis=-1)[m]
+    specs = {
+        2: (np.array([0.75, 0.28, 0.22]), 9.0, 21),   # marble-red sphere
+        3: (np.array([0.22, 0.45, 0.78]), 13.0, 22),  # blue
+        4: (np.array([0.85, 0.72, 0.25]), 7.0, 23),   # gold stripes
+        5: (np.array([0.5, 0.8, 0.45]), 16.0, 24),    # green fine detail
+        6: (np.array([0.6, 0.4, 0.65]), 8.0, 25),     # purple box
+        7: (np.array([0.3, 0.65, 0.6]), 12.0, 26),    # teal box
+    }
+    for k, (base, freq, seed) in specs.items():
+        m = mat == k
+        if m.any():
+            n = _fbm(p, freq, seed)[..., None] * 0.28
+            out[m] = np.clip(base[None] + n, 0.02, 0.98)[m]
+    return out
+
+
+def trace(origin, dirs):
+    """Nearest-hit ray trace. dirs: [..., 3] normalized. Returns t, mat."""
+    sh = dirs.shape[:-1]
+    t = np.full(sh, np.inf, np.float32)
+    mat = np.zeros(sh, np.int32)
+    # plane y = PLANE_Y
+    dy = dirs[..., 1]
+    tp = np.where(np.abs(dy) > 1e-7, (PLANE_Y - origin[1]) / dy, np.inf)
+    hitp = (tp > 1e-3) & (tp < t)
+    # bound the plane so the scene is finite
+    px = origin[0] + tp * dirs[..., 0]
+    pz = origin[2] + tp * dirs[..., 2]
+    hitp &= (np.abs(px) < 7.0) & (np.abs(pz) < 7.0)
+    t = np.where(hitp, tp, t)
+    mat = np.where(hitp, 1, mat)
+    for c, r, mid in SPHERES:
+        oc = origin - c
+        b = np.einsum("...i,i->...", dirs, oc)
+        disc = b * b - (oc @ oc - r * r)
+        ok = disc > 0
+        ts = -b - np.sqrt(np.where(ok, disc, 0))
+        hit = ok & (ts > 1e-3) & (ts < t)
+        t = np.where(hit, ts, t)
+        mat = np.where(hit, mid, mat)
+    for lo, hi, mid in BOXES:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / dirs
+        t0 = (lo - origin) * inv
+        t1 = (hi - origin) * inv
+        tmin = np.minimum(t0, t1).max(axis=-1)
+        tmax = np.maximum(t0, t1).min(axis=-1)
+        hit = (tmax > tmin) & (tmin > 1e-3) & (tmin < t)
+        t = np.where(hit, tmin, t)
+        mat = np.where(hit, mid, mat)
+    return t, mat
+
+
+def normal_at(p, mat, origin):
+    n = np.zeros_like(p)
+    n[mat == 1] = [0, 1, 0]
+    for c, r, mid in SPHERES:
+        m = mat == mid
+        if m.any():
+            nn = p[m] - c
+            n[m] = nn / (np.linalg.norm(nn, axis=-1, keepdims=True) + 1e-12)
+    for lo, hi, mid in BOXES:
+        m = mat == mid
+        if m.any():
+            q = p[m]
+            ctr = (lo + hi) / 2
+            half = (hi - lo) / 2
+            rel = (q - ctr) / half
+            axis = np.argmax(np.abs(rel), axis=-1)
+            nn = np.zeros_like(q)
+            nn[np.arange(len(q)), axis] = np.sign(
+                rel[np.arange(len(q)), axis])
+            n[m] = nn
+    return n
+
+
+def render_view(eye, target, width, height, fovx):
+    up = np.array([0.0, 1.0, 0.0])
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    upv = np.cross(right, fwd)
+    f = width / (2 * np.tan(fovx / 2))
+    xs, ys = np.meshgrid(np.arange(width) + 0.5, np.arange(height) + 0.5)
+    d = ((xs - width / 2)[..., None] * right
+         - (ys - height / 2)[..., None] * upv + f * fwd)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t, mat = trace(eye, d)
+    hit = np.isfinite(t) & (mat > 0)
+    p = eye + np.where(hit[..., None], t[..., None], 0.0) * d
+    n = normal_at(p, mat, eye)
+    alb = albedo(p, mat)
+    lam = np.clip(np.einsum("...i,i->...", n, LIGHT), 0, 1)
+    shade = (0.35 + 0.65 * lam)[..., None]
+    img = np.where(hit[..., None], alb * shade, 0.0).astype(np.float32)
+    return np.clip(img, 0, 1), hit.astype(np.float32)
+
+
+def camera_ring(n, radius=4.6, hmin=0.6, hmax=2.4, seed=0):
+    rng = np.random.default_rng(seed)
+    eyes = []
+    for v in range(n):
+        th = 2 * np.pi * v / n
+        h = hmin + (hmax - hmin) * (0.5 + 0.5 * np.sin(3 * th + 0.7))
+        r = radius * (0.92 + 0.16 * rng.random())
+        eyes.append(np.array([r * np.sin(th), h, r * np.cos(th)]))
+    return eyes
+
+
+def surface_points(n, seed=1):
+    """Init point cloud: samples on the primitives with albedo colors."""
+    rng = np.random.default_rng(seed)
+    pts, cols = [], []
+    # plane
+    m = n // 2
+    p = np.stack([rng.uniform(-6, 6, m), np.full(m, PLANE_Y),
+                  rng.uniform(-6, 6, m)], axis=-1)
+    pts.append(p)
+    cols.append(albedo(p, np.full(m, 1)))
+    per = (n - m) // (len(SPHERES) + len(BOXES))
+    for c, r, mid in SPHERES:
+        d = rng.normal(size=(per, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        p = c + r * d
+        pts.append(p)
+        cols.append(albedo(p, np.full(per, mid)))
+    for lo, hi, mid in BOXES:
+        p = rng.uniform(lo, hi, (per, 3))
+        for i in range(per):  # project to a random face
+            ax = rng.integers(0, 3)
+            p[i, ax] = lo[ax] if rng.random() < 0.5 else hi[ax]
+        pts.append(p)
+        cols.append(albedo(p, np.full(per, mid)))
+    return np.concatenate(pts), np.concatenate(cols)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/gof_proc_scene")
+    ap.add_argument("--width", type=int, default=1237)
+    ap.add_argument("--height", type=int, default=822)
+    ap.add_argument("--views", type=int, default=36)
+    ap.add_argument("--test-views", type=int, default=6)
+    ap.add_argument("--fovx", type=float, default=1.1)
+    ap.add_argument("--points", type=int, default=40_000)
+    args = ap.parse_args()
+
+    from PIL import Image
+
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from gof_tpu.utils import ply
+
+    os.makedirs(args.out, exist_ok=True)
+    target = np.array([0.0, -0.4, 0.0])
+
+    def write_views(eyes, prefix, start):
+        frames = []
+        for i, eye in enumerate(eyes):
+            img, alpha = render_view(eye, target, args.width, args.height,
+                                     args.fovx)
+            rgba = np.concatenate([img, alpha[..., None]], axis=-1)
+            name = f"{prefix}_{i}"
+            Image.fromarray((rgba * 255).astype(np.uint8), "RGBA").save(
+                os.path.join(args.out, name + ".png"))
+            # blender json stores OpenGL camera-to-world
+            fwd = target - eye
+            fwd = fwd / np.linalg.norm(fwd)
+            right = np.cross(fwd, np.array([0.0, 1.0, 0.0]))
+            right /= np.linalg.norm(right)
+            upv = np.cross(right, fwd)
+            c2w = np.eye(4)
+            c2w[:3, 0] = right
+            c2w[:3, 1] = upv
+            c2w[:3, 2] = -fwd
+            c2w[:3, 3] = eye
+            frames.append({"file_path": name,
+                           "transform_matrix": c2w.tolist()})
+            print(f"  {name} done", flush=True)
+        return frames
+
+    print("rendering train views...")
+    tr = write_views(camera_ring(args.views, seed=0), "r", 0)
+    print("rendering test views...")
+    te = write_views(camera_ring(args.test_views, radius=4.3, seed=7), "t", 0)
+    with open(os.path.join(args.out, "transforms_train.json"), "w") as f:
+        json.dump({"camera_angle_x": args.fovx, "frames": tr}, f)
+    with open(os.path.join(args.out, "transforms_test.json"), "w") as f:
+        json.dump({"camera_angle_x": args.fovx, "frames": te}, f)
+
+    pts, cols = surface_points(args.points)
+    jitter = np.random.default_rng(3).normal(size=pts.shape) * 0.01
+    c8 = (np.clip(cols, 0, 1) * 255).astype(np.uint8)
+    p = (pts + jitter).astype(np.float32)
+    ply.write_ply(os.path.join(args.out, "points3d.ply"), {
+        "x": p[:, 0], "y": p[:, 1], "z": p[:, 2],
+        "red": c8[:, 0], "green": c8[:, 1], "blue": c8[:, 2],
+    })
+    print(f"wrote {args.out}: {args.views} train / {args.test_views} test "
+          f"views at {args.width}x{args.height}, {len(p)} init points")
+
+
+if __name__ == "__main__":
+    main()
