@@ -70,17 +70,29 @@ def bench_config(n, width, height, capacity, reps, label, sigma=-3.2, verbose=Fa
 
     opt = config_lib.OptimizationParams()
     model_cfg = config_lib.ModelParams(sh_degree=3, kernel_size=0.1)
-    # compact buffer at 1/4 capacity: the backward stores only live
-    # (pre-saturation) gradient rows — ~15% of keys at this overdraw; the
-    # overflow assert below guards the choice like the key capacity's.
-    pipe = config_lib.PipelineParams(backend="pallas", key_capacity=capacity,
-                                     compact_capacity=capacity // 4)
+    pipe = config_lib.PipelineParams(backend="pallas", key_capacity=capacity)
     from gof_tpu.model import appearance as app_lib
 
     tx = train_lib.make_optimizer(opt, spatial_lr_scale=5.0)
     app_net, app_emb = app_lib.init_appearance(jax.random.PRNGKey(0))
     tp0 = train_lib.TrainParams(gauss=params, app_net=app_net, app_emb=app_emb)
     opt_state0 = tx.init(tp0)
+
+    def fit_compact_capacity():
+        """One probe step at the safe compact capacity, then fit the buffer
+        to 1.3x the measured live-row demand — exactly the training loop's
+        right-sizing policy. The backward stores only live (pre-saturation)
+        gradient rows, ~15% of keys at this overdraw."""
+        step_fn = train_lib.build_train_step(
+            opt, model_cfg, pipe, tx, with_stats=True, with_reg=False)
+        import jax.numpy as jnp2
+        t = jax.tree.map(jnp2.copy, tp0)
+        _, _, _, m = step_fn(t, opt_state0, gstate, gt,
+                             jnp2.asarray(5000, jnp2.int32), cam, bg)
+        demand = int(m["compact_demand"])
+        pipe.compact_capacity = -(-max(int(demand * 1.3), 65536) // 65536) * 65536
+        print(f"# compact demand {demand} -> capacity {pipe.compact_capacity}",
+              file=__import__("sys").stderr)
 
     def time_phase(with_stats, with_reg, step_idx):
         step_fn = train_lib.build_train_step(
@@ -105,6 +117,7 @@ def bench_config(n, width, height, capacity, reps, label, sigma=-3.2, verbose=Fa
         dt = (time.perf_counter() - t0) / reps
         return dt, nk, ov
 
+    fit_compact_capacity()
     d_densify, nk, ov = time_phase(True, False, 5000)
     d_reg, _, _ = time_phase(False, True, 20000)
     assert not ov, (f"key/compact overflow: {nk} keys vs capacity {capacity}; "

@@ -84,6 +84,9 @@ def main(argv=None):
     # grid bounds from the active gaussians (with a margin)
     act = np.asarray(gstate.active)
     xyz = np.asarray(gauss.xyz)[act]
+    # a non-finite gaussian (pruned on the next densify, but possibly alive
+    # in a snapshot) would poison min/max into a negative-sized grid
+    xyz = xyz[np.isfinite(xyz).all(axis=1)]
     lo = xyz.min(axis=0) - 4 * ns.voxel_size
     hi = xyz.max(axis=0) + 4 * ns.voxel_size
     voxel = ns.voxel_size

@@ -351,6 +351,15 @@ def densify_and_prune(
     prune = op < min_opacity
     ws = jnp.max(jnp.exp(new_params.scaling), axis=-1) > 0.1 * extent
     prune = jnp.where(use_size_prune, prune | ws, prune)
+    # non-finite gaussians (a single NaN gradient poisons the Adam moments
+    # permanently): the renderer culls them every view, but they would
+    # otherwise occupy slots forever — NaN compares False against every
+    # threshold, so the opacity/size prunes never catch them
+    finite = (jnp.all(jnp.isfinite(new_params.xyz), axis=-1)
+              & jnp.all(jnp.isfinite(new_params.scaling), axis=-1)
+              & jnp.all(jnp.isfinite(new_params.rotation), axis=-1)
+              & jnp.isfinite(new_params.opacity))
+    prune = prune | ~finite
     n_before_prune = jnp.sum(new_active)
     new_active = new_active & ~prune
 

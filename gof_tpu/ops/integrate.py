@@ -38,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import ALPHA_MAX, ALPHA_MIN, NEAR_PLANE, TILE_H, TILE_W
 from . import binning as binning_lib
 from .binning import CHUNK_SIZE, AlignedBins, Binning
-from .rasterize_pallas import P_COLS, _chunk_geometry, _cumprod_incl, _transpose_mxu
+from .rasterize_pallas import (P_COLS, _chunk_geometry, _cumprod_incl,
+                               _geometry_basis, _transpose_mxu)
 
 PBLOCK = 1024  # query points per kernel block (lane dimension)
 
@@ -122,6 +123,7 @@ def _integrate_kernel(block_ofs_ref, bseg_s_ref, bseg_e_ref,
     ry = prays_ref[1:2, :]
     depth = prays_ref[2:3, :]
     R3 = jnp.concatenate([rx, ry, jnp.ones_like(rx)], axis=0)
+    basis5 = _geometry_basis(R3)
     row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_SIZE, 1), 0)
 
     def copy_in(c, slot):
@@ -146,7 +148,7 @@ def _integrate_kernel(block_ofs_ref, bseg_s_ref, bseg_e_ref,
         p = _transpose_mxu(pbuf[slot])  # [CHUNK, 32]
         grow = base + c * CHUNK_SIZE + row_i
         seg_mask = (grow >= seg_s) & (grow < seg_e)
-        d0, d1, d2, _, _, _, _, _, t = _chunk_geometry(p, rx, ry, R3)
+        d0, d1, d2, _, _, _, _, _, t = _chunk_geometry(p, rx, ry, basis5)
         # clamp the evaluation depth to the query point (forward.cu:1173-1176)
         t_star = jnp.minimum(t, depth)
         v0 = p[:, 13:14] + t_star * d0

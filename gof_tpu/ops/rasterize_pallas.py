@@ -204,23 +204,25 @@ def _geometry_basis(R3):
     reused by every chunk, so the five skinny per-group matmuls collapse to
     one [G, 32] @ [32, 5*PIX] MXU call per chunk (a skinny MXU issue carries
     ~1.5 us fixed latency, which dominates at 0.8 MFLOP apiece)."""
+    npx = R3.shape[1]
     blocks = []
     for c in _GEOM_COLS:
         blocks.append(jnp.concatenate(
-            [jnp.zeros((c, NPIX), jnp.float32), R3,
-             jnp.zeros((P_COLS - c - 3, NPIX), jnp.float32)], axis=0))
+            [jnp.zeros((c, npx), jnp.float32), R3,
+             jnp.zeros((P_COLS - c - 3, npx), jnp.float32)], axis=0))
     return jnp.concatenate(blocks, axis=1)
 
 
 def _chunk_geometry(p, rx, ry, basis5):
     """Ray-space linear algebra for one [CHUNK, 32] payload block: directions
     d = M r, normals n = Sigma r, ud = b.r, dd = |d|^2, peak depth t."""
+    npx = basis5.shape[1] // 5
     out = jnp.dot(p, basis5, preferred_element_type=jnp.float32)  # [G, 5*PIX]
-    d0 = out[:, 0:NPIX]
-    d1 = out[:, NPIX : 2 * NPIX]
-    d2 = out[:, 2 * NPIX : 3 * NPIX]
-    n0 = out[:, 3 * NPIX : 4 * NPIX]  # Sigma row 0 (xx, xy, xz)
-    ud = out[:, 4 * NPIX : 5 * NPIX]
+    d0 = out[:, 0:npx]
+    d1 = out[:, npx : 2 * npx]
+    d2 = out[:, 2 * npx : 3 * npx]
+    n0 = out[:, 3 * npx : 4 * npx]  # Sigma row 0 (xx, xy, xz)
+    ud = out[:, 4 * npx : 5 * npx]
     # Sigma rows 1/2 are non-contiguous in the 6-vector: n1/n2 via VPU madds.
     n1 = p[:, 17:18] * rx + p[:, 19:20] * ry + p[:, 20:21]
     n2 = p[:, 18:19] * rx + p[:, 20:21] * ry + p[:, 21:22]

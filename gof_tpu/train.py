@@ -2,9 +2,12 @@
 
 Replaces the reference train.py:90-278. TPU-native structure: the entire
 optimization step (render -> losses -> backward -> Adam -> densification
-stats) is ONE jitted function with donated buffers; the host only samples
-cameras, schedules densify/reset/filter refreshes, grows static capacities on
-overflow (re-jit), and writes logs/checkpoints.
+stats) is ONE jitted function with donated buffers, and the host dispatches
+it in lax.scan WINDOWS of up to 10 iterations (cameras/gt indexed on device
+from stacked arrays) so per-dispatch host overhead amortizes; the host only
+samples camera ids, schedules densify/reset/filter refreshes at window
+boundaries, right-sizes static capacities from demand telemetry (re-jit),
+and writes logs/checkpoints from one packed metrics readback per window.
 
 Loss parity (train.py:124-190):
   rgb:       (1 - lambda_dssim) * L1(+appearance) + lambda_dssim * (1 - SSIM)
@@ -183,6 +186,7 @@ def build_train_step(
     interpret: bool = False,
     with_stats: bool = True,
     with_reg: bool = True,
+    n_inner: int = 1,
 ):
     sh_degree = model_cfg.sh_degree
     kernel_size = model_cfg.kernel_size
@@ -190,16 +194,9 @@ def build_train_step(
     backend = pipe.backend
     capacity = pipe.key_capacity
 
-    # Only the (large) gaussian params are donated. Everything else contains
-    # leaves that XLA constant-dedup/CSE can make share one buffer (zero conv
-    # biases, equal Adam counts, freshly-reset zero densification stats), and
-    # donating a shared buffer twice is a runtime error.
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(gauss: gm.GaussianParams, app_net, app_emb, opt_state,
-                   gstate: gm.GaussianState,
-                   gt: jnp.ndarray, step: jnp.ndarray, camera: cameras_lib.Camera,
-                   bg: jnp.ndarray):
-        tp = TrainParams(gauss=gauss, app_net=app_net, app_emb=app_emb)
+    def step_body(tp: TrainParams, opt_state, gstate: gm.GaussianState,
+                  gt: jnp.ndarray, step: jnp.ndarray,
+                  camera: cameras_lib.Camera, bg: jnp.ndarray):
         active_degree = jnp.minimum(step // 1000, sh_degree)
 
         def loss_fn(tp: TrainParams, carrier):
@@ -262,7 +259,8 @@ def build_train_step(
             # keep appearance leaves untouched (zero grads)
             grads = grads._replace(
                 app_net=jax.tree.map(jnp.zeros_like, tp.app_net),
-                app_emb=jnp.zeros_like(tp.app_emb),
+                app_emb=(None if tp.app_emb is None
+                         else jnp.zeros_like(tp.app_emb)),
             )
 
         # Key-overflow steps rendered with the deepest duplicated keys
@@ -297,18 +295,59 @@ def build_train_step(
             aux["compact_overflow"].astype(jnp.float32),
             jnp.sum(gstate.active).astype(jnp.float32),
         ])
-        return tp.gauss, tp.app_net, tp.app_emb, opt_state, gstate, metrics
+        return tp, opt_state, gstate, metrics
+
+    # Only the (large) gaussian params are donated. Everything else contains
+    # leaves that XLA constant-dedup/CSE can make share one buffer (zero conv
+    # biases, equal Adam counts, freshly-reset zero densification stats), and
+    # donating a shared buffer twice is a runtime error.
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(gauss: gm.GaussianParams, app_net, app_emb, opt_state,
+                   gstate, gt, step, camera, bg):
+        tp = TrainParams(gauss=gauss, app_net=app_net, app_emb=app_emb)
+        return step_body(tp, opt_state, gstate, gt, step, camera, bg)
 
     def wrapped(tp: TrainParams, opt_state, gstate, gt, step, camera, bg):
-        g2, an2, ae2, opt_state, gstate, metrics = train_step(
+        tp, opt_state, gstate, metrics = train_step(
             tp.gauss, tp.app_net, tp.app_emb, opt_state, gstate, gt, step, camera, bg
         )
         # metrics["step_next"] = step + 1 rides the jit so the loop keeps
         # its counter ON DEVICE: a per-iteration host->device scalar
         # transfer through the TPU tunnel blocks for a full RTT
-        return TrainParams(gauss=g2, app_net=an2, app_emb=ae2), opt_state, gstate, metrics
+        return tp, opt_state, gstate, metrics
 
-    return wrapped
+    if n_inner <= 1:
+        return wrapped
+
+    # --- scan-windowed multi-step: one dispatch per n_inner iterations ---
+    # Dispatching one pjit call through the tunneled backend costs O(10ms)
+    # of single-core host time (arg-handle serialization); at ~25ms device
+    # steps that dominates wall clock. The window indexes its cameras and
+    # gt images on device from stacked arrays.
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step(gauss, app_net, app_emb, opt_state, gstate,
+                   gt_stack, cam_ids, step0, cam_stack, bg):
+        def body(carry, i):
+            tp, opt_state, gstate, step = carry
+            cid = cam_ids[i]
+            camera = jax.tree.map(lambda x: x[cid], cam_stack)
+            gt = gt_stack[cid]
+            tp, opt_state, gstate, metrics = step_body(
+                tp, opt_state, gstate, gt, step, camera, bg)
+            return (tp, opt_state, gstate, step + 1), metrics["packed"]
+
+        tp0 = TrainParams(gauss=gauss, app_net=app_net, app_emb=app_emb)
+        (tp, opt_state, gstate, step_next), packed = jax.lax.scan(
+            body, (tp0, opt_state, gstate, step0), jnp.arange(n_inner))
+        return tp, opt_state, gstate, {"packed_all": packed,
+                                       "step_next": step_next}
+
+    def wrapped_multi(tp, opt_state, gstate, gt_stack, cam_ids, step0,
+                      cam_stack, bg):
+        return multi_step(tp.gauss, tp.app_net, tp.app_emb, opt_state, gstate,
+                          gt_stack, cam_ids, step0, cam_stack, bg)
+
+    return wrapped_multi
 
 
 def zero_moments_predicate(capacity: int):
@@ -389,9 +428,35 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
     with_stats = first_iter + 1 <= opt.densify_until_iter
     with_reg = first_iter + 1 >= reg_start
 
+    # --- scan-window size: one dispatch per n_inner iterations ---
+    # Every host control point (densify cadence, opacity reset, phase flips,
+    # eval/save/checkpoint iterations, metric logging) must land on a window
+    # boundary, so the window is the gcd of all cadences (target 10). A
+    # dispatch through the tunneled backend costs ~10ms of single-core host
+    # time; at ~25ms device steps, per-iteration dispatch dominates wall
+    # clock. Mixed camera resolutions fall back to single-step.
+    import math as _math
+
+    cadences = [10, opt.densification_interval, opt.opacity_reset_interval,
+                max(opt.densify_until_iter, 1), max(reg_start, 1),
+                opt.iterations]
+    cadences += [int(i) for i in list(test_iterations) + list(save_iterations)
+                 + list(checkpoint_iterations) if int(i) > first_iter]
+    if debug_image_interval:
+        cadences.append(debug_image_interval)
+    n_inner = 10
+    for c in cadences:
+        n_inner = _math.gcd(n_inner, c)
+    if len({sc._scaled_size(c) for c in sc.train_cameras}) > 1:
+        n_inner = 1
+    if first_iter % max(n_inner, 1) != 0:
+        n_inner = 1
+    n_inner = max(n_inner, 1)
+
     def rebuild_step():
         return build_train_step(opt, model_cfg, pipe, tx, interpret=interpret,
-                                with_stats=with_stats, with_reg=with_reg)
+                                with_stats=with_stats, with_reg=with_reg,
+                                n_inner=n_inner)
 
     train_step = rebuild_step()
     densify_fn = jax.jit(
@@ -414,7 +479,16 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
 
     # >= 800px-wide cameras for the 30% high-res oversampling
     # (reference train.py:112-116,139-141)
-    highres_infos = [c for c in sc.train_cameras if sc._scaled_size(c)[0] >= 800]
+    highres_ids = [i for i, c in enumerate(sc.train_cameras)
+                   if sc._scaled_size(c)[0] >= 800]
+
+    cam_stack = gt_stack = None
+    if n_inner > 1:
+        # device-resident stacks the scan window indexes per step
+        pairs = [get_cam(i) for i in sc.train_cameras]
+        cam_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                 *[c for c, _ in pairs])
+        gt_stack = jnp.stack([g for _, g in pairs])
 
     log_path = os.path.join(model_cfg.model_path, "train_log.jsonl")
     logf = open(log_path, "a")
@@ -436,31 +510,48 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    for iteration in range(first_iter + 1, opt.iterations + 1):
+    for iteration in range(first_iter + n_inner, opt.iterations + 1, n_inner):
+        # `iteration` is the END of the current n_inner-step window (== the
+        # iteration itself when n_inner == 1); every cadence below lands on
+        # a window boundary by construction of n_inner.
+        win_start = iteration - n_inner + 1
         # after densification ends, the densify-stat pseudo-gradients are
         # compiled out of the backward kernel
-        if with_stats and iteration > opt.densify_until_iter:
+        if with_stats and win_start > opt.densify_until_iter:
             with_stats = False
             train_step = rebuild_step()
         # once a regularizer activates, its channels are compiled back in
-        if not with_reg and iteration >= reg_start:
+        if not with_reg and win_start >= reg_start:
             with_reg = True
             train_step = rebuild_step()
-        if not stack:
-            stack = list(sc.train_cameras)
-            random.shuffle(stack)
-        info = stack.pop()
-        # 30% high-res oversampling (train.py:139-141); the pop above still
-        # consumes a stack entry, as in the reference
-        if model_cfg.sample_more_highres and highres_infos and random.random() < 0.3:
-            info = highres_infos[random.randint(0, len(highres_infos) - 1)]
-        camera, gt = get_cam(info)
+
+        def next_id():
+            nonlocal stack
+            if not stack:
+                stack = list(range(len(sc.train_cameras)))
+                random.shuffle(stack)
+            j = stack.pop()
+            # 30% high-res oversampling (train.py:139-141); the pop above
+            # still consumes a stack entry, as in the reference
+            if model_cfg.sample_more_highres and highres_ids and random.random() < 0.3:
+                j = highres_ids[random.randint(0, len(highres_ids) - 1)]
+            return j
 
         if step_dev is None:  # (re)seed the device-resident step counter
-            step_dev = jnp.asarray(iteration, jnp.int32)
-        tp, opt_state, gstate, metrics = train_step(
-            tp, opt_state, gstate, gt, step_dev, camera, bg
-        )
+            step_dev = jnp.asarray(win_start, jnp.int32)
+        if n_inner == 1:
+            camera, gt = get_cam(sc.train_cameras[next_id()])
+            tp, opt_state, gstate, metrics = train_step(
+                tp, opt_state, gstate, gt, step_dev, camera, bg
+            )
+        else:
+            id_list = [next_id() for _ in range(n_inner)]
+            tp, opt_state, gstate, metrics = train_step(
+                tp, opt_state, gstate, gt_stack,
+                jnp.asarray(id_list, jnp.int32), step_dev, cam_stack, bg
+            )
+            # last window camera, for the optional debug-image dump below
+            camera, gt = get_cam(sc.train_cameras[id_list[-1]])
         step_dev = metrics["step_next"]
 
         # --- host control flow (train.py:237-278) ---
@@ -489,10 +580,16 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
 
         # Host reads force a device sync (~30ms through the TPU tunnel here),
         # so metrics are only materialized every 10 iterations.
-        if iteration % 10 == 0 or iteration == 1:
+        if iteration % 10 == 0 or iteration == first_iter + n_inner:
             # single batched readback (see metrics["packed"])
-            (m_loss, m_psnr, m_keys, m_key_ov, m_cdem, m_cov,
-             m_points) = np.asarray(metrics["packed"]).tolist()
+            if n_inner == 1:
+                (m_loss, m_psnr, m_keys, m_key_ov, m_cdem, m_cov,
+                 m_points) = np.asarray(metrics["packed"]).tolist()
+            else:
+                mp = np.asarray(metrics["packed_all"])  # [n_inner, 7]
+                m_loss, m_psnr, m_points = mp[-1, 0], mp[-1, 1], mp[-1, 6]
+                m_keys, m_key_ov = mp[:, 2].max(), mp[:, 3].max()
+                m_cdem, m_cov = mp[:, 4].max(), mp[:, 5].max()
             rebuild = False
             if m_key_ov:
                 # Grow to the observed demand (num_keys is the true pre-drop
@@ -550,6 +647,10 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
                 compact_peak = 0
             if rebuild:
                 train_step = rebuild_step()
+                # re-persist the config so post-hoc tools (render_cli,
+                # extract_mesh, metrics) see the capacities the final model
+                # actually needs, not the launch-time guess
+                config_lib.save_cfg(model_cfg.model_path, model_cfg, pipe, opt)
             loss = float(m_loss)
             ema_loss = loss if ema_loss is None else 0.6 * loss + 0.4 * ema_loss
             rec = {
@@ -649,14 +750,25 @@ def build_eval_fn(model_cfg, pipe, interpret=False):
             model_cfg.kernel_size, bg, active_mask=gstate.active,
             capacity=pipe.key_capacity, backend=pipe.backend, interpret=interpret,
         )
-        return out.image
+        return out.image, out.num_keys, out.overflow
 
     _EVAL_CACHE[key] = f
     return f
 
 
 def render_eval(tp, gstate, camera, model_cfg, pipe, bg, interpret=False):
-    return build_eval_fn(model_cfg, pipe, interpret)(tp, gstate, camera, bg)
+    """Overflow-safe eval render: a persisted config can carry a smaller key
+    capacity than the final model needs (training right-sizes capacities as
+    the scene grows); silently truncated renders would quietly degrade every
+    eval metric, so grow + re-jit until the render fits."""
+    for _ in range(8):
+        img, num_keys, overflow = build_eval_fn(model_cfg, pipe, interpret)(
+            tp, gstate, camera, bg)
+        if not bool(overflow):
+            return img
+        need = int(num_keys)
+        pipe.key_capacity = -(-int(need * 1.3) // 65536) * 65536
+    raise RuntimeError(f"render overflow persists at capacity {pipe.key_capacity}")
 
 
 def save_checkpoint(model_path, iteration, tp, opt_state, gstate):
@@ -675,8 +787,17 @@ def save_checkpoint(model_path, iteration, tp, opt_state, gstate):
 def load_checkpoint(path):
     import pickle
 
+    class _Unpickler(pickle.Unpickler):
+        # checkpoints written by `python -m gof_tpu.train` pickle this
+        # module's classes under __main__; remap so any entry point loads
+        def find_class(self, module, name):
+            if module == "__main__" and hasattr(
+                    __import__("gof_tpu.train", fromlist=[name]), name):
+                module = "gof_tpu.train"
+            return super().find_class(module, name)
+
     with open(path, "rb") as f:
-        blob = pickle.load(f)
+        blob = _Unpickler(f).load()
     return jax.tree.map(jnp.asarray, blob["tp"]), blob["opt_state"], blob["gstate"], blob["iter"]
 
 

@@ -112,3 +112,65 @@ class TestTrainE2E:
             os.path.join(model_cfg.model_path, "chkpnt30.pkl")
         )
         assert it == 30
+
+
+class TestOverflowGating:
+    def test_compact_overflow_gates_update(self, rng):
+        """A step whose compact gradient buffer overflows must be a no-op:
+        clamped gradient-row writes would otherwise train on partial
+        gradients (train.py overflow gate; compact telemetry from the
+        forward kernel's demand channels)."""
+        import jax
+        import jax.numpy as jnp
+
+        from gof_tpu import cameras
+        from gof_tpu.model import gaussians as gm
+        from gof_tpu.sh import rgb_to_sh_dc
+
+        n = 40
+        z = rng.uniform(4, 7, n)
+        xyz = np.stack([rng.uniform(-1, 1, n) * z * 0.2,
+                        rng.uniform(-1, 1, n) * z * 0.2, z], -1)
+        q = rng.normal(size=(n, 4))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        params = gm.GaussianParams(
+            xyz=jnp.asarray(xyz, jnp.float32),
+            features_dc=rgb_to_sh_dc(jnp.asarray(rng.uniform(0, 1, (n, 3)),
+                                                 jnp.float32))[:, None, :],
+            features_rest=jnp.zeros((n, 3, 3), jnp.float32),
+            scaling=jnp.asarray(np.log(rng.uniform(0.2, 0.5, (n, 3))), jnp.float32),
+            rotation=jnp.asarray(q, jnp.float32),
+            opacity=jnp.asarray(np.zeros(n), jnp.float32),
+        )
+        zf = jnp.zeros((n,), jnp.float32)
+        gstate = gm.GaussianState(
+            active=jnp.ones((n,), bool), filter_3d=zf + 1e-4, max_radii2d=zf,
+            grad_accum=zf, grad_abs_accum=zf, denom=zf,
+        )
+        cam = cameras.look_at_camera(eye=(0, 0, 0), target=(0, 0, 5.0),
+                                     width=96, height=64)
+        gt = jnp.asarray(rng.uniform(0, 1, (3, 64, 96)), jnp.float32)
+        bg = jnp.zeros(3)
+        opt = config_lib.OptimizationParams()
+        model_cfg = config_lib.ModelParams(sh_degree=1, kernel_size=0.1)
+
+        def run(compact_capacity):
+            pipe = config_lib.PipelineParams(
+                backend="pallas", key_capacity=4096,
+                compact_capacity=compact_capacity)
+            tx = train_lib.make_optimizer(opt, 5.0)
+            tp0 = train_lib.TrainParams(gauss=jax.tree.map(jnp.copy, params),
+                                        app_net=None, app_emb=None)
+            s0 = tx.init(tp0)
+            step = train_lib.build_train_step(opt, model_cfg, pipe, tx,
+                                              interpret=True)
+            tp, s, g, m = step(tp0, s0, gstate, gt, jnp.int32(100), cam, bg)
+            return tp, m
+
+        tp_ok, m_ok = run(0)  # safe capacity: update applies
+        assert not bool(m_ok["compact_overflow"])
+        assert float(jnp.abs(tp_ok.gauss.xyz - params.xyz).max()) > 0
+
+        tp_of, m_of = run(128)  # absurdly small: overflow, step is a no-op
+        assert bool(m_of["compact_overflow"])
+        assert float(jnp.abs(tp_of.gauss.xyz - params.xyz).max()) == 0
