@@ -7,6 +7,7 @@ C1/C2 stabilizers.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -25,24 +26,21 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 _WIN = _gaussian_window()
 
 
-def _band_matrix(n: int) -> np.ndarray:
-    """[n, n] banded Gaussian-blur operator (zero SAME padding = the band
-    simply truncates at the edges, matching a zero-padded conv)."""
-    b = np.zeros((n, n), np.float32)
-    for k, wk in enumerate(_WIN):
-        off = k - 5
-        idx = np.arange(max(0, -off), min(n, n - off))
-        b[idx, idx + off] = wk
-    return b
-
-
-_BAND_CACHE: dict[int, np.ndarray] = {}
-
-
 def _band(n: int) -> jnp.ndarray:
-    if n not in _BAND_CACHE:
-        _BAND_CACHE[n] = _band_matrix(n)
-    return jnp.asarray(_BAND_CACHE[n])
+    """[n, n] banded Gaussian-blur operator (zero SAME padding = the band
+    simply truncates at the edges, matching a zero-padded conv).
+
+    Built ON DEVICE from iota rather than as a numpy closure constant: a
+    dense [1237,1237] f32 constant embeds ~6 MB into the executable (and the
+    blur appears at several call sites), which a tunneled backend pays for
+    on every dispatch."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    diff = c - r  # band offset in [-5, 5]
+    b = jnp.zeros((n, n), jnp.float32)
+    for k, wk in enumerate(_WIN):
+        b = jnp.where(diff == (k - 5), jnp.float32(wk), b)
+    return b
 
 
 def _blur(x: jnp.ndarray) -> jnp.ndarray:

@@ -19,7 +19,7 @@ from gof_tpu.utils import losses  # noqa: E402
 N = 100_000
 W, H = 1237, 822
 CAP = 1_638_400
-REPS = 10
+REPS = 30
 
 rng = np.random.default_rng(1)
 params, gstate = make_state(N, rng)
@@ -43,7 +43,8 @@ def run(name, loss_mode, with_reg=False, do_opt=True):
             out = render_lib.render(
                 cam, g.xyz, scales_f, g.rotation, opac_f, shs, 3, 0.1, bg,
                 carrier=carrier, active_mask=gstate.active, capacity=CAP,
-                backend="pallas", with_stats=True, with_reg=with_reg)
+                backend="pallas", with_stats=True, with_reg=with_reg,
+                compact_capacity=327680)
             image = out.image[:3]
             if loss_mode == "sum":
                 return jnp.sum(image), out
@@ -74,11 +75,12 @@ def run(name, loss_mode, with_reg=False, do_opt=True):
     s0 = tx.init(tp0)
     s0 = jax.tree.map(lambda x: jnp.array(np.asarray(x)), s0)
     g = jax.tree.map(jnp.copy, params)
-    g, s, l = step(g, s0, jnp.int32(5000))
+    step_i = jnp.int32(5000)
+    g, s, l = step(g, s0, step_i)
     jax.block_until_ready(l)
     t0 = time.perf_counter()
     for _ in range(REPS):
-        g, s, l = step(g, s, jnp.int32(5000))
+        g, s, l = step(g, s, step_i)
     jax.block_until_ready(l)
     dt = (time.perf_counter() - t0) / REPS
     print(f"{name:46s} {dt*1e3:8.1f} ms")
@@ -91,3 +93,41 @@ run("loss=sum(image), +Adam", "sum")
 run("loss=L1, +Adam", "l1")
 run("loss=L1+SSIM, +Adam (densify phase)", "full")
 run("loss=L1+SSIM+dist+normal, +Adam (reg phase)", "full_reg", with_reg=True)
+
+
+def run_grads_only(name, with_reg=False):
+    @jax.jit
+    def step(gauss, step_i):
+        tp = train_lib.TrainParams(gauss=gauss, app_net=None, app_emb=None)
+
+        def loss_fn(tp, carrier):
+            g = tp.gauss
+            scales_f = gm.filtered_scaling(g, gstate.filter_3d)
+            opac_f = gm.filtered_opacity(g, gstate.filter_3d)
+            shs = gm.get_features(g)
+            out = render_lib.render(
+                cam, g.xyz, scales_f, g.rotation, opac_f, shs, 3, 0.1, bg,
+                carrier=carrier, active_mask=gstate.active, capacity=CAP,
+                backend="pallas", with_stats=True, with_reg=with_reg,
+                compact_capacity=327680)
+            return jnp.sum(out.image[:3]), out
+
+        carrier0 = jnp.zeros((gauss.xyz.shape[0], 3), jnp.float32)
+        (loss, out), (grads, cgrad) = jax.value_and_grad(
+            lambda tp, c: loss_fn(tp, c), argnums=(0, 1), has_aux=True)(tp, carrier0)
+        gsum = sum(jnp.sum(jnp.abs(l)) for l in jax.tree.leaves(grads))
+        return loss + gsum + jnp.sum(cgrad[0])
+
+    g = jax.tree.map(jnp.copy, params)
+    step_i = jnp.int32(5000)
+    l = step(g, step_i)
+    jax.block_until_ready(l)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        l = step(g, step_i)
+    jax.block_until_ready(l)
+    print(f"{name:46s} {(time.perf_counter()-t0)/REPS*1e3:8.1f} ms")
+    sys.stdout.flush()
+
+
+run_grads_only("loss=sum, param grads materialized, no opt")
