@@ -91,14 +91,28 @@ def load_dtu_calibration(dtu_dir: str, n: int = 64) -> np.ndarray:
     return np.asarray(centers)
 
 
+def _image_index(image_name: str) -> int:
+    """DTU image index from a file name like rect_012_3_r5000 or 00012."""
+    import re
+
+    nums = re.findall(r"\d+", image_name)
+    return int(nums[0]) if nums else 1
+
+
 def dtu_alignment(pred_centers: np.ndarray, gt_centers: np.ndarray):
     """Scale-normalize then rigid best-fit (evaluate_dtu_mesh.py:157-165).
-    Returns (scale, R, t): aligned = (x * scale) @ R.T + t."""
-    gt = gt_centers[: len(pred_centers)]
+    Returns (scale, R, t): aligned = (x * scale) @ R.T + t.
+
+    pred_centers[i] must correspond to gt_centers[i]: the caller pairs by
+    the DTU image index parsed from each camera's image name (an --eval
+    split removes every 8th train camera, so positional pairing is wrong).
+    """
+    assert len(pred_centers) == len(gt_centers)
+    gt = gt_centers
     s_pred = np.linalg.norm(pred_centers - pred_centers.mean(0), axis=1).mean()
     s_gt = np.linalg.norm(gt - gt.mean(0), axis=1).mean()
     scale = s_gt / max(s_pred, 1e-12)
-    R, t, _ = geo.best_fit_transform(pred_centers * scale, gt)
+    R, t, _ = geo.best_fit_transform(pred_centers * scale, gt, rigid=True)
     return scale, R, t
 
 
@@ -147,7 +161,7 @@ def _load_model_mesh_and_cameras(model_path: str, iteration: int, mesh_rel: str)
 
     from ..data.readers import load_alpha
 
-    cams, masks = [], []
+    cams, masks, image_ids = [], [], []
     for info in scene.train_cameras:
         from .. import cameras as cameras_lib
 
@@ -155,14 +169,15 @@ def _load_model_mesh_and_cameras(model_path: str, iteration: int, mesh_rel: str)
         cams.append(cameras_lib.make_camera(info.R, info.T, info.fovx, info.fovy,
                                             W, H, uid=info.uid))
         masks.append(load_alpha(info, scene.resolution))
-    return verts, faces, cams, masks, mesh_file
+        image_ids.append(_image_index(info.image_name))
+    return verts, faces, cams, masks, image_ids, mesh_file
 
 
 def evaluate_model(model_path: str, scan_id: int, dtu_dir: str, iteration: int = 30000,
                    mesh_rel: str = os.path.join("tsdf", "tsdf.ply"),
                    downsample_density: float = 0.2, output_dir: str | None = None):
     """Full reference protocol from a trained model dir. Returns results dict."""
-    verts, faces, cams, masks, mesh_file = _load_model_mesh_and_cameras(
+    verts, faces, cams, masks, image_ids, mesh_file = _load_model_mesh_and_cameras(
         model_path, iteration, mesh_rel)
 
     # 1. mask culling
@@ -174,7 +189,11 @@ def evaluate_model(model_path: str, scan_id: int, dtu_dir: str, iteration: int =
 
     # 2. camera-center alignment to the DTU calibration
     pred_centers = np.asarray([np.asarray(c.cam_center) for c in cams], np.float64)
-    gt_centers = load_dtu_calibration(dtu_dir)
+    calib = load_dtu_calibration(dtu_dir)
+    # pair each camera with its calibration entry by DTU image index
+    # (1-based pos_###.txt); an --eval split leaves holes in train_cameras
+    gt_centers = np.asarray([calib[min(max(i, 1), len(calib)) - 1]
+                             for i in image_ids], np.float64)
     scale, R, t = dtu_alignment(pred_centers, gt_centers)
     verts_a = (verts_c * scale) @ R.T + t
     ply.write_ply(mesh_file.replace(".ply", "_aligned.ply"),

@@ -70,9 +70,13 @@ def precision_recall_fscore(pred: np.ndarray, gt: np.ndarray, tau: float):
     return {"precision": precision, "recall": recall, "fscore": f, "tau": tau}
 
 
-def best_fit_transform(A: np.ndarray, B: np.ndarray):
+def best_fit_transform(A: np.ndarray, B: np.ndarray, rigid: bool = False):
     """Similarity transform (R, t, s) minimizing ||s R A + t - B|| (Umeyama;
-    evaluate_dtu_mesh.py:15-56 uses the rigid special case)."""
+    evaluate_dtu_mesh.py:15-56 uses the rigid special case).
+
+    rigid=True fixes s = 1 and returns t consistent with applying R alone —
+    using the similarity fit's t while dropping its s biases every point by
+    (1 - s) R @ centroid(A)."""
     ca = A.mean(axis=0)
     cb = B.mean(axis=0)
     A0 = A - ca
@@ -82,8 +86,11 @@ def best_fit_transform(A: np.ndarray, B: np.ndarray):
     d = np.sign(np.linalg.det(Vt.T @ U.T))
     D = np.diag([1.0, 1.0, d])
     R = Vt.T @ D @ U.T
-    var = (A0**2).sum()
-    s = float(np.trace(np.diag(S) @ D) / max(var, 1e-12))
+    if rigid:
+        s = 1.0
+    else:
+        var = (A0**2).sum()
+        s = float(np.trace(np.diag(S) @ D) / max(var, 1e-12))
     t = cb - s * R @ ca
     return R, t, s
 
@@ -117,7 +124,7 @@ def icp_point_to_point(src: np.ndarray, dst: np.ndarray, max_iters: int = 30,
                 break
         else:
             keep = np.ones(len(d), bool)
-        R, t, _s = best_fit_transform(cur[keep], dst[idx[keep]])
+        R, t, _s = best_fit_transform(cur[keep], dst[idx[keep]], rigid=True)
         cur = cur @ R.T + t
         Ti = np.eye(4)
         Ti[:3, :3] = R

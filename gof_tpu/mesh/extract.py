@@ -143,7 +143,8 @@ class FieldEvaluator:
                     xyz, scales, rot, jnp.zeros((xyz.shape[0], 1, 3)), 0, camera,
                     self.kernel_size, active,
                 )
-                rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+                rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid,
+                                               ntx, nty, radius_xy=pre.radius_xy)
                 b = binning.bin_gaussians(pre.depth, rects, ntx, nty, kcap)
                 op_eff = op * jnp.where(pre.valid, pre.coef, 0.0)
                 sigma6 = rp.pack_sigma6(pre.v2g_M)
@@ -156,20 +157,38 @@ class FieldEvaluator:
                 T = integrate.integrate_transmittance_pallas(
                     payload, b, pb, points.shape[0], interpret=interpret
                 )
-                return T
+                return T, b.num_keys, b.overflow
 
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
     def alpha(self, points: np.ndarray) -> np.ndarray:
         """field(x) = 1 - min over views of (1 - T_view(x))
-        (evaluage_alpha, extract_mesh.py:16-34)."""
+        (evaluage_alpha, extract_mesh.py:16-34).
+
+        A persisted config can carry a smaller key capacity than this
+        model's views demand (training right-sizes to its own peak, and the
+        field is evaluated without opacity tightening); a silent key
+        overflow here would drop visible gaussians from the alpha field, so
+        grow + re-jit until every view fits.
+        """
         pts = jnp.asarray(points, jnp.float32)
         final_alpha = jnp.ones((pts.shape[0],), jnp.float32)
         for cam in self.cameras:
-            fn = self._view_fn(pts.shape[0], cam)
-            T = fn(pts, self.model["xyz"], self.model["scales"], self.model["rot"],
-                   self.model["op"], self.model["active"], cam)
+            for _ in range(8):
+                fn = self._view_fn(pts.shape[0], cam)
+                T, num_keys, ov = fn(
+                    pts, self.model["xyz"], self.model["scales"],
+                    self.model["rot"], self.model["op"], self.model["active"],
+                    cam)
+                if not bool(ov):
+                    break
+                need = int(num_keys)
+                self.key_capacity = -(-int(need * 1.3) // 65536) * 65536
+                self._jit_cache.clear()
+            else:
+                raise RuntimeError(
+                    f"field eval overflow persists at {self.key_capacity}")
             final_alpha = jnp.minimum(final_alpha, 1.0 - T)
         return np.asarray(1.0 - final_alpha)
 

@@ -100,6 +100,10 @@ def build_payload32(rgb, op_eff, M, u0, sigma6, bvec, conic, mean2d, binning: Bi
     CHUNK_SIZE-aligned windows and mask entries outside each tile's segment.
     """
     P = rgb.shape[0]
+    # ids ride as exact f32 values through the backward (row 31); beyond
+    # 2^24 odd ids would round to even and gradients would silently sum
+    # into the wrong gaussians
+    assert P < (1 << 24), f"gaussian pool {P} exceeds exact-f32 id range"
     flat = jnp.concatenate(
         [
             rgb,  # 0:3

@@ -439,7 +439,7 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
 
     cadences = [10, opt.densification_interval, opt.opacity_reset_interval,
                 max(opt.densify_until_iter, 1), max(reg_start, 1),
-                opt.iterations]
+                max(opt.densify_from_iter, 1), opt.iterations]
     cadences += [int(i) for i in list(test_iterations) + list(save_iterations)
                  + list(checkpoint_iterations) if int(i) > first_iter]
     if debug_image_interval:
@@ -484,11 +484,12 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
 
     cam_stack = gt_stack = None
     if n_inner > 1:
-        # device-resident stacks the scan window indexes per step
-        pairs = [get_cam(i) for i in sc.train_cameras]
-        cam_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
-                                 *[c for c, _ in pairs])
-        gt_stack = jnp.stack([g for _, g in pairs])
+        # device-resident stacks the scan window indexes per step; built
+        # from host arrays directly (populating cam_cache too would hold a
+        # second full-resolution copy of every view in HBM)
+        cams_l, gts_l = zip(*(sc.camera(i) for i in sc.train_cameras))
+        cam_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *cams_l)
+        gt_stack = jnp.asarray(np.stack([np.asarray(g) for g in gts_l]))
 
     log_path = os.path.join(model_cfg.model_path, "train_log.jsonl")
     logf = open(log_path, "a")
@@ -520,8 +521,11 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
         if with_stats and win_start > opt.densify_until_iter:
             with_stats = False
             train_step = rebuild_step()
-        # once a regularizer activates, its channels are compiled back in
-        if not with_reg and win_start >= reg_start:
+        # once a regularizer activates, its channels are compiled back in;
+        # the flip covers the whole window CONTAINING reg_start (the step at
+        # reg_start applies nonzero weights; earlier steps in the window
+        # compute the channels with zero lambda, which is exact)
+        if not with_reg and iteration >= reg_start:
             with_reg = True
             train_step = rebuild_step()
 
@@ -551,7 +555,9 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
                 jnp.asarray(id_list, jnp.int32), step_dev, cam_stack, bg
             )
             # last window camera, for the optional debug-image dump below
-            camera, gt = get_cam(sc.train_cameras[id_list[-1]])
+            # (views from the stacks — no second device copy via cam_cache)
+            camera = jax.tree.map(lambda x: x[id_list[-1]], cam_stack)
+            gt = gt_stack[id_list[-1]]
         step_dev = metrics["step_next"]
 
         # --- host control flow (train.py:237-278) ---

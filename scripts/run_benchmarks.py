@@ -50,6 +50,12 @@ def main():
     ap.add_argument("--data_root", required=True)
     ap.add_argument("--out_root", required=True)
     ap.add_argument("--scenes", nargs="*", default=None, help="subset of scenes")
+    ap.add_argument("--dtu_eval_data", default="",
+                    help="DTU ground-truth dir (Points/ObsMask) to chain the "
+                         "chamfer eval after mesh extraction")
+    ap.add_argument("--tnt_eval_data", default="",
+                    help="TNT ground-truth dir to chain the F-score eval "
+                         "after mesh extraction")
     ns = ap.parse_args()
 
     if ns.dataset == "mipnerf360":

@@ -130,7 +130,8 @@ class TestDtuProtocol:
         if np.linalg.det(Rtrue) < 0:
             Rtrue[:, 0] *= -1
         gt = 7.0 * pred @ Rtrue.T + np.array([10.0, -3.0, 5.0])
-        scale, R, t = dtu.dtu_alignment(pred, np.concatenate([gt, gt[:15]]))
+        # exact 1:1 correspondences (the caller pairs by DTU image index)
+        scale, R, t = dtu.dtu_alignment(pred, gt)
         aligned = (pred * scale) @ R.T + t
         np.testing.assert_allclose(aligned, gt, atol=1e-6)
 
