@@ -191,9 +191,16 @@ def evaluate_model(model_path: str, scan_id: int, dtu_dir: str, iteration: int =
     pred_centers = np.asarray([np.asarray(c.cam_center) for c in cams], np.float64)
     calib = load_dtu_calibration(dtu_dir)
     # pair each camera with its calibration entry by DTU image index
-    # (1-based pos_###.txt); an --eval split leaves holes in train_cameras
-    gt_centers = np.asarray([calib[min(max(i, 1), len(calib)) - 1]
-                             for i in image_ids], np.float64)
+    # (1-based pos_###.txt); an --eval split leaves holes in train_cameras.
+    # Fail loudly on out-of-range indices: silently clamping a misparsed
+    # filename would mis-align the SVD fit and wreck the chamfer numbers.
+    bad = [i for i in image_ids if not (1 <= i <= len(calib))]
+    if bad:
+        raise ValueError(
+            f"camera image indices {bad[:5]} out of range for DTU calibration "
+            f"with {len(calib)} entries; check image filenames (expected "
+            "1-based indices parseable from the name)")
+    gt_centers = np.asarray([calib[i - 1] for i in image_ids], np.float64)
     scale, R, t = dtu_alignment(pred_centers, gt_centers)
     verts_a = (verts_c * scale) @ R.T + t
     ply.write_ply(mesh_file.replace(".ply", "_aligned.ply"),

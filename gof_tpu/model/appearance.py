@@ -88,9 +88,10 @@ def init_appearance(rng, height: int = 32, width: int = 32):
     dummy = jnp.zeros((1, height // 32 * 0 + 2, 2, 3 + APPEARANCE_DIM))
     params = net.init(rng, dummy)
     k2 = jax.random.fold_in(rng, 1)
-    # torch.nn.Embedding default init: N(0, 1); the reference uses
-    # std=0.01ish? gaussian_model.py:114-116 uses default Embedding init
-    emb = jax.random.normal(k2, (NUM_APPEARANCE_EMBEDDINGS, APPEARANCE_DIM)) * 0.01
+    # reference initializes the per-view embeddings with std=1e-4
+    # (scene/gaussian_model.py:114-116: _appearance_embeddings = empty.normal_
+    # scaled to 1e-4), so early appearance output starts near-neutral
+    emb = jax.random.normal(k2, (NUM_APPEARANCE_EMBEDDINGS, APPEARANCE_DIM)) * 1e-4
     return params, emb
 
 

@@ -150,7 +150,15 @@ def bin_gaussians(
     # 1. duplication offsets in original Gaussian order
     off = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])  # [P+1]
     num_keys = off[-1]
-    overflow = num_keys > capacity
+    # Detect int32 wrap: with unbounded rects many grid-covering gaussians can
+    # push the true total past 2^31 (exactly the exploding-scale states the
+    # overflow gate must catch); a wrapped cumsum would read negative and make
+    # `num_keys > capacity` a false negative. Counts are per-gaussian bounded
+    # by ntiles, so a saturating f64-free check is enough: any negative prefix
+    # means wrap.
+    wrapped = jnp.min(off) < 0
+    overflow = (num_keys > capacity) | wrapped
+    num_keys = jnp.where(wrapped, jnp.int32(2**31 - 1), num_keys)
     starts = jnp.clip(off[:-1], 0, capacity - 1).astype(jnp.int32)
     in_cap = off[:-1] < capacity
 
@@ -185,9 +193,13 @@ def bin_gaussians(
     tile = (y0e + j // rw) * ntx + x0e + j % rw  # [CAP]
     tile = jnp.where(dup_valid, tile, ntiles)  # sentinel sorts last
 
-    # 3. one sort by (tile, depth) carrying the gaussian ids
+    # 3. one sort by (tile, depth) carrying the gaussian ids. Stable: ties
+    # (bitwise-equal depths in one tile, common right after clone
+    # densification) then keep the pre-sort order = original gaussian-id
+    # order, reproducing cub's stable radix SortPairs tie behavior
+    # (rasterizer_impl.cu:355-363).
     tile_sorted, _, gauss_sorted = jax.lax.sort(
-        (tile, depth_bits, jnp.where(dup_valid, gid, P)), num_keys=2, is_stable=False
+        (tile, depth_bits, jnp.where(dup_valid, gid, P)), num_keys=2, is_stable=True
     )
 
     # 4. per-tile segment bounds. Entries of one tile are contiguous after

@@ -104,6 +104,8 @@ def build_payload32(rgb, op_eff, M, u0, sigma6, bvec, conic, mean2d, binning: Bi
     # 2^24 odd ids would round to even and gradients would silently sum
     # into the wrong gaussians
     assert P < (1 << 24), f"gaussian pool {P} exceeds exact-f32 id range"
+    cap = int(binning.slot_to_gaussian.shape[0])
+    assert cap < (1 << 24), f"key capacity {cap} exceeds exact-f32 range"
     flat = jnp.concatenate(
         [
             rgb,  # 0:3
@@ -739,6 +741,11 @@ def rasterize_bwd_pallas(
     cap = payload.shape[1]
     if compact_cap <= 0:
         compact_cap = compact_capacity_for(cap, ntiles)
+    # the compact cursor (CH_CSTART) round-trips through f32 fout channels;
+    # past 2^24 it would round and break the CHUNK_SIZE alignment promise,
+    # silently corrupting compact gradient writes
+    assert compact_cap < (1 << 24), (
+        f"compact capacity {compact_cap} exceeds exact-f32 cursor range")
     live = fout[:, CH_LIVEC, 0].astype(jnp.int32)
     cstart = fout[:, CH_CSTART, 0].astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(

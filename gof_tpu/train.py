@@ -503,6 +503,7 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
     ntiles_max = max((-(-cw // TILE_W)) * (-(-ch // TILE_W))
                      for cw, ch in (sc._scaled_size(c) for c in sc.train_cameras))
     step_dev = None  # device-resident iteration counter (seeded lazily)
+    pending_metrics = []  # unread per-window packed metrics (device arrays)
     t_start = time.time()
 
     # optional device tracing (the reference's analog is torch.cuda.Event
@@ -585,17 +586,20 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
             gstate = gstate._replace(filter_3d=filt)
 
         # Host reads force a device sync (~30ms through the TPU tunnel here),
-        # so metrics are only materialized every 10 iterations.
+        # so metrics are only materialized every 10 iterations. Unread
+        # windows are KEPT (device arrays, no sync) and folded into the next
+        # readback so overflow/demand from every step is seen even when
+        # n_inner does not divide 10.
+        pending_metrics.append(metrics["packed_all"] if n_inner > 1
+                               else metrics["packed"])
         if iteration % 10 == 0 or iteration == first_iter + n_inner:
             # single batched readback (see metrics["packed"])
-            if n_inner == 1:
-                (m_loss, m_psnr, m_keys, m_key_ov, m_cdem, m_cov,
-                 m_points) = np.asarray(metrics["packed"]).tolist()
-            else:
-                mp = np.asarray(metrics["packed_all"])  # [n_inner, 7]
-                m_loss, m_psnr, m_points = mp[-1, 0], mp[-1, 1], mp[-1, 6]
-                m_keys, m_key_ov = mp[:, 2].max(), mp[:, 3].max()
-                m_cdem, m_cov = mp[:, 4].max(), mp[:, 5].max()
+            mp = np.concatenate([np.atleast_2d(np.asarray(m))
+                                 for m in pending_metrics], axis=0)  # [k, 7]
+            pending_metrics.clear()
+            m_loss, m_psnr, m_points = mp[-1, 0], mp[-1, 1], mp[-1, 6]
+            m_keys, m_key_ov = mp[:, 2].max(), mp[:, 3].max()
+            m_cdem, m_cov = mp[:, 4].max(), mp[:, 5].max()
             rebuild = False
             if m_key_ov:
                 # Grow to the observed demand (num_keys is the true pre-drop
@@ -723,12 +727,14 @@ def _densify(densify_fn, tp, gstate, opt_state, key, use_size):
     return tp._replace(gauss=g2), s2, opt_state2, rep
 
 
-def evaluate(sc, tp, gstate, model_cfg, pipe, bg, interpret=False, max_views: int = 8):
-    """PSNR over (a subset of) test cameras, as in training_report
-    (train.py:303-342)."""
+def evaluate(sc, tp, gstate, model_cfg, pipe, bg, interpret=False,
+             max_views: int | None = None):
+    """PSNR over the full test split, as in training_report
+    (train.py:303-342, which evaluates every test camera). Pass max_views to
+    subsample explicitly (e.g. smoke tests)."""
     cams = sc.test_cameras or sc.train_cameras[:4]
     psnrs = []
-    for info in cams[:max_views]:
+    for info in (cams if max_views is None else cams[:max_views]):
         camera, gt = sc.camera(info)
         img = render_eval(tp, gstate, camera, model_cfg, pipe, bg, interpret)
         psnrs.append(float(losses.psnr(img[:3], jnp.asarray(gt))))
