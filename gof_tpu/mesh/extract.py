@@ -147,12 +147,8 @@ class FieldEvaluator:
                                                ntx, nty, radius_xy=pre.radius_xy)
                 b = binning.bin_gaussians(pre.depth, rects, ntx, nty, kcap)
                 op_eff = op * jnp.where(pre.valid, pre.coef, 0.0)
-                sigma6 = rp.pack_sigma6(pre.v2g_M)
-                bvec = jnp.einsum("pji,pj->pi", pre.v2g_M, pre.v2g_u0)
-                payload = rp.build_payload32(
-                    pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, sigma6, bvec,
-                    pre.conic, pre.mean2d, b,
-                )
+                payload = rp.build_payload16(
+                    pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, b)
                 pb = integrate.bin_points(points, camera, ntx, nty, pcap)
                 T = integrate.integrate_transmittance_pallas(
                     payload, b, pb, points.shape[0], interpret=interpret

@@ -162,33 +162,44 @@ def bin_gaussians(
     starts = jnp.clip(off[:-1], 0, capacity - 1).astype(jnp.int32)
     in_cap = off[:-1] < capacity
 
-    # 2. expand per-Gaussian values to dup slots. All six columns share ONE
-    #    delta-scatter (P rows, monotone indices) + ONE [CAP, 6] cumsum —
-    #    per-column scatters each pay the full per-row scatter latency.
+    # 2. expand per-Gaussian values to dup slots. Wide scatters fall off a
+    #    ~10x XLA performance cliff, so ONLY the gaussian id is expanded by a
+    #    1-column delta-scatter + cumsum; everything else is a narrow-row
+    #    table gather by that id (narrow gathers stay on the fast path).
     k = jnp.arange(capacity, dtype=jnp.int32)
     dup_valid = k < num_keys
-    cols = jnp.stack(
+    gid_vals = jnp.arange(P, dtype=jnp.int32)
+    gid_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), gid_vals[:-1]])
+    gid_delta = jnp.where(in_cap, gid_vals - gid_prev, 0)
+    d = jnp.zeros((capacity,), jnp.int32).at[starts].add(
+        gid_delta, mode="drop", indices_are_sorted=True)
+    gid = jnp.cumsum(d)  # [CAP]
+
+    # per-slot attributes via ONE [P, 4] int32 gather: duplication offset,
+    # packed rect (x0 | y0 | w in 10-bit fields), depth sort bits (view
+    # depths are > 0, so the f32 bit pattern is order-preserving as int32 —
+    # the reference packs the same float bits into its radix key,
+    # rasterizer_impl.cu:102)
+    packed_rect = (
+        rects.x0.astype(jnp.int32)
+        | (rects.y0.astype(jnp.int32) << 10)
+        | (jnp.minimum(rects.w, 1023).astype(jnp.int32) << 20)
+    )
+    tbl = jnp.stack(
         [
             off[:-1],
-            jnp.arange(P, dtype=jnp.int32),
-            rects.w.astype(jnp.int32),
-            rects.x0.astype(jnp.int32),
-            rects.y0.astype(jnp.int32),
-            # depth sort bits: view depths are > 0, so the f32 bit pattern is
-            # order-preserving as int32 (the reference packs the same float
-            # bits into its radix key, rasterizer_impl.cu:102)
+            packed_rect,
             jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32),
+            jnp.zeros((P,), jnp.int32),
         ],
         axis=1,
-    )  # [P, 6]
-    prev = jnp.concatenate([jnp.zeros((1, 6), jnp.int32), cols[:-1]], axis=0)
-    delta = jnp.where(in_cap[:, None], cols - prev, 0)
-    d = jnp.zeros((capacity, 6), jnp.int32).at[starts].add(
-        delta, mode="drop", indices_are_sorted=True)
-    exp = jnp.cumsum(d, axis=0)  # [CAP, 6]
-    off_exp, gid = exp[:, 0], exp[:, 1]
-    rw = jnp.maximum(exp[:, 2], 1)
-    x0e, y0e, depth_bits = exp[:, 3], exp[:, 4], exp[:, 5]
+    )  # [P, 4]
+    attrs = tbl[gid]  # [CAP, 4]
+    off_exp = attrs[:, 0]
+    x0e = attrs[:, 1] & 1023
+    y0e = (attrs[:, 1] >> 10) & 1023
+    rw = jnp.maximum((attrs[:, 1] >> 20) & 1023, 1)
+    depth_bits = attrs[:, 2]
     j = k - off_exp
     tile = (y0e + j // rw) * ntx + x0e + j % rw  # [CAP]
     tile = jnp.where(dup_valid, tile, ntiles)  # sentinel sorts last

@@ -123,7 +123,7 @@ def _integrate_kernel(block_ofs_ref, bseg_s_ref, bseg_e_ref,
     ry = prays_ref[1:2, :]
     depth = prays_ref[2:3, :]
     R3 = jnp.concatenate([rx, ry, jnp.ones_like(rx)], axis=0)
-    basis5 = _geometry_basis(R3)
+    basis3 = _geometry_basis(R3)
     row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_SIZE, 1), 0)
 
     def copy_in(c, slot):
@@ -145,10 +145,10 @@ def _integrate_kernel(block_ofs_ref, bseg_s_ref, bseg_e_ref,
             copy_in(c + 1, jax.lax.rem(c + 1, 2)).start()
 
         copy_in(c, slot).wait()
-        p = _transpose_mxu(pbuf[slot])  # [CHUNK, 32]
+        p = _transpose_mxu(pbuf[slot])  # [16, CHUNK] -> [CHUNK, 16]
         grow = base + c * CHUNK_SIZE + row_i
         seg_mask = (grow >= seg_s) & (grow < seg_e)
-        d0, d1, d2, _, _, _, _, _, t = _chunk_geometry(p, rx, ry, basis5)
+        d0, d1, d2, _, _, _, _, _, t = _chunk_geometry(p, basis3)
         # clamp the evaluation depth to the query point (forward.cu:1173-1176)
         t_star = jnp.minimum(t, depth)
         v0 = p[:, 13:14] + t_star * d0
@@ -169,7 +169,7 @@ def _integrate_kernel(block_ofs_ref, bseg_s_ref, bseg_e_ref,
 
 
 def integrate_transmittance_pallas(
-    payload: jnp.ndarray,  # [32, CAP] gaussian payload (rasterizer layout)
+    payload: jnp.ndarray,  # [16, CAP] gaussian payload (rasterizer layout)
     gauss_bins: Binning,
     pbins: PointBins,
     n_points: int,

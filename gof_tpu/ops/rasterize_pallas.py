@@ -5,9 +5,14 @@ TPU-native replacement for renderCUDA forward/backward
 
 - grid = one program per 32x32-pixel tile; pixels live in the 1024 lanes of
   [G=128, 1024] blocks, so every VPU op is fully utilized;
-- the per-chunk linear algebra (ray-space direction d = M r, normal
-  n = Sigma r, and u0.d = b.r) is ONE MXU matmul [G, 32] @ [32, 5*1024]
-  against a per-tile selection basis (_geometry_basis);
+- the per-visit payload is 16 f32 (rgb, opacity, the factored quadric M and
+  u0) in [CAP, 16] row-major slots: everything else the blend needs
+  (Sigma r = M^T(M r), b.r = u0.(M r)) is derived in-kernel from M/u0, so
+  the payload gather stays on XLA's fast narrow-row path (wide-row gathers
+  fall off a ~6x performance cliff at 32 columns);
+- the per-chunk linear algebra (ray-space direction d = M r) is ONE MXU
+  matmul [G, 16] @ [16, 3*1024] against a per-tile selection basis
+  (_geometry_basis);
 - blending is an associative scan: alphas for the whole chunk are computed in
   parallel, transmittance via a log-depth prefix product, accumulation via
   lane reductions. No per-Gaussian serial dependency beyond one multiply;
@@ -18,11 +23,15 @@ TPU-native replacement for renderCUDA forward/backward
   grid SMEM cursor; fout channels CH_LIVEC/CH_CSTART);
 - the backward pass walks only the live prefix front-to-back, reconstructing
   suffix sums by subtraction from the forward totals (replacing the CUDA
-  back-to-front re-walk, backward.cu:692-764), and writes per-visit gradient
-  rows COMPACTED into the forward's layout — no atomics, and the ~88% of
-  slots past saturation (exactly-zero rows) are never stored. Row 31 carries
-  each slot's gaussian id, so the deterministic per-Gaussian reduction is a
-  single segment-sum over ~25% of capacity (_raster_bwd).
+  back-to-front re-walk, backward.cu:692-764), and writes 16-column per-visit
+  gradient rows COMPACTED into the forward's layout — no atomics, and the
+  ~75% of slots past saturation (exactly-zero rows) are never stored. The
+  quadric chain dL/dSigma -> dL/dM and dL/db -> dL/d(M, u0) is folded into
+  the kernel per-slot (cheap [G]-vector ops), so the reduction runs over 16
+  columns; each compact row's gaussian id rides a separate int32 stream.
+- densification-stat inputs (conic / mean2d) and outputs (gx, gy, |g|) live
+  on separate 8-column aux streams compiled in only while densification
+  runs (with_stats).
 
 Cotangent semantics replicate the reference's (documented) choices:
 - the depth-distortion gradient flows only through the mapped depth m, not
@@ -56,20 +65,17 @@ from ..constants import (
 from .binning import CHUNK_SIZE, Binning
 
 # ---------------------------------------------------------------------------
-# Payload layout: one row of 32 f32 per (tile, Gaussian) visit slot.
+# Payload layout: one row of 16 f32 per (tile, Gaussian) visit slot
+# (shared with tiled_ref.build_payload). Aux stats stream: 8 f32.
 # ---------------------------------------------------------------------------
-P_COLS = 32
+P_COLS = 16
 C_RGB = 0  # 0:3
 C_OP = 3
 C_M = 4  # 4:13 row-major
 C_U0 = 13  # 13:16
-C_SIG = 16  # 16:22 (xx, xy, xz, yy, yz, zz)
-C_B = 22  # 22:25
-C_CONIC = 26  # 26:29
-C_MEAN2D = 29  # 29:31
-# In the gradient slot rows, cols 26:29 are reused for the densification
-# stats (gx, gy, |gx|+|gy|) since conic/mean2d are non-differentiable.
-G_STATS = 26
+AUX_COLS = 8  # 0:3 conic | 3:5 mean2d | 5:8 pad
+# stats output rows: 0 gx | 1 gy | 2 |gx|+|gy| | 3:8 pad
+STAT_COLS = 8
 
 NPIX = 1024
 OUT_CH = 16
@@ -83,7 +89,10 @@ CH_CSTART = 13
 
 
 def pack_sigma6(M: jnp.ndarray) -> jnp.ndarray:
-    """Sigma = M^T M as (..., 6) upper triangle (the reference's v2g[0:6])."""
+    """Sigma = M^T M as (..., 6) upper triangle (the reference's v2g[0:6]).
+
+    Cross-check helper only — the kernels derive Sigma r from M in-kernel.
+    """
     S = jnp.einsum("...ji,...jk->...ik", M, M)
     return jnp.stack(
         [S[..., 0, 0], S[..., 0, 1], S[..., 0, 2], S[..., 1, 1], S[..., 1, 2], S[..., 2, 2]],
@@ -91,41 +100,30 @@ def pack_sigma6(M: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def build_payload32(rgb, op_eff, M, u0, sigma6, bvec, conic, mean2d, binning: Binning) -> jnp.ndarray:
+def build_payload16(rgb, op_eff, M, u0, binning: Binning) -> jnp.ndarray:
     """Gather per-Gaussian rows into the (tile, depth)-sorted slot layout.
 
     Sentinel slots gather the appended zero row (opacity 0 -> no
-    contribution). Returned TRANSPOSED, [32, CAP]: HBM DMA slices must be
-    128-aligned in the lane (last) dimension; the kernels read whole
-    CHUNK_SIZE-aligned windows and mask entries outside each tile's segment.
+    contribution). The gather runs over 16-column rows (narrow rows keep it
+    on XLA's fast path — wide rows fall off a ~6x cliff) and the result is
+    returned TRANSPOSED, [16, CAP]: Mosaic requires HBM DMA slices to be
+    128-aligned in the lane (last) dimension, so the kernels read
+    [16, CHUNK] windows and transpose on the MXU.
     """
     P = rgb.shape[0]
-    # ids ride as exact f32 values through the backward (row 31); beyond
-    # 2^24 odd ids would round to even and gradients would silently sum
-    # into the wrong gaussians
-    assert P < (1 << 24), f"gaussian pool {P} exceeds exact-f32 id range"
     cap = int(binning.slot_to_gaussian.shape[0])
     assert cap < (1 << 24), f"key capacity {cap} exceeds exact-f32 range"
+    flat = jnp.concatenate([rgb, op_eff[:, None], M.reshape(P, 9), u0], axis=1)
+    flat = jnp.concatenate([flat, jnp.zeros((1, P_COLS), flat.dtype)], axis=0)
+    return flat[binning.slot_to_gaussian].T
+
+
+def build_aux8(conic, mean2d, binning: Binning) -> jnp.ndarray:
+    """Stats-phase aux stream [8, CAP]: conic (0:3), mean2d (3:5)."""
+    P = conic.shape[0]
     flat = jnp.concatenate(
-        [
-            rgb,  # 0:3
-            op_eff[:, None],  # 3
-            M.reshape(P, 9),  # 4:13
-            u0,  # 13:16
-            sigma6,  # 16:22
-            bvec,  # 22:25
-            jnp.zeros((P, 1), rgb.dtype),  # 25
-            conic,  # 26:29
-            mean2d,  # 29:31
-            # 31: the gaussian id as an exact f32 value. The backward kernel
-            # echoes it into gradient row 31 so the compacted slot rows carry
-            # their own reduction ids (no separate gather/searchsorted).
-            jnp.arange(P, dtype=rgb.dtype)[:, None],
-        ],
-        axis=1,
-    )
-    sentinel = jnp.zeros((1, P_COLS), flat.dtype).at[0, 31].set(float(P))
-    flat = jnp.concatenate([flat, sentinel], axis=0)
+        [conic, mean2d, jnp.zeros((P, AUX_COLS - 5), conic.dtype)], axis=1)
+    flat = jnp.concatenate([flat, jnp.zeros((1, AUX_COLS), flat.dtype)], axis=0)
     return flat[binning.slot_to_gaussian].T
 
 
@@ -200,15 +198,15 @@ class _ChunkFwd(NamedTuple):
 
 
 # payload column ranges projected against the per-tile ray basis R3:
-# (M row 0, M row 1, M row 2, Sigma row 0, b)
-_GEOM_COLS = (4, 7, 10, 16, 22)
+# the three rows of M (d = M r)
+_GEOM_COLS = (4, 7, 10)
 
 
 def _geometry_basis(R3):
-    """[32, 5*PIX] block-diagonal-ish selection basis: group g holds R3 at
+    """[16, 3*PIX] block-diagonal-ish selection basis: group g holds R3 at
     payload rows _GEOM_COLS[g]:+3, zeros elsewhere. Built ONCE per tile and
-    reused by every chunk, so the five skinny per-group matmuls collapse to
-    one [G, 32] @ [32, 5*PIX] MXU call per chunk (a skinny MXU issue carries
+    reused by every chunk, so the three skinny per-group matmuls collapse to
+    one [G, 16] @ [16, 3*PIX] MXU call per chunk (a skinny MXU issue carries
     ~1.5 us fixed latency, which dominates at 0.8 MFLOP apiece)."""
     npx = R3.shape[1]
     blocks = []
@@ -219,33 +217,36 @@ def _geometry_basis(R3):
     return jnp.concatenate(blocks, axis=1)
 
 
-def _chunk_geometry(p, rx, ry, basis5):
-    """Ray-space linear algebra for one [CHUNK, 32] payload block: directions
-    d = M r, normals n = Sigma r, ud = b.r, dd = |d|^2, peak depth t."""
-    npx = basis5.shape[1] // 5
-    out = jnp.dot(p, basis5, preferred_element_type=jnp.float32)  # [G, 5*PIX]
+def _chunk_geometry(p, basis3, need_normals=False):
+    """Ray-space linear algebra for one [CHUNK, 16] payload block: directions
+    d = M r, ud = u0 . d, dd = |d|^2, peak depth t, and (optional) the
+    un-normalized normal n = Sigma r = M^T d."""
+    npx = basis3.shape[1] // 3
+    out = jnp.dot(p, basis3, preferred_element_type=jnp.float32)  # [G, 3*PIX]
     d0 = out[:, 0:npx]
-    d1 = out[:, npx : 2 * npx]
-    d2 = out[:, 2 * npx : 3 * npx]
-    n0 = out[:, 3 * npx : 4 * npx]  # Sigma row 0 (xx, xy, xz)
-    ud = out[:, 4 * npx : 5 * npx]
-    # Sigma rows 1/2 are non-contiguous in the 6-vector: n1/n2 via VPU madds.
-    n1 = p[:, 17:18] * rx + p[:, 19:20] * ry + p[:, 20:21]
-    n2 = p[:, 18:19] * rx + p[:, 20:21] * ry + p[:, 21:22]
-
-    dd = rx * n0 + ry * n1 + n2 + 1e-12  # = r^T Sigma r = |d|^2
+    d1 = out[:, npx: 2 * npx]
+    d2 = out[:, 2 * npx: 3 * npx]
+    ud = p[:, 13:14] * d0 + p[:, 14:15] * d1 + p[:, 15:16] * d2
+    dd = d0 * d0 + d1 * d1 + d2 * d2 + 1e-12  # = r^T Sigma r
     t = -ud / dd
+    if need_normals:
+        n0 = p[:, 4:5] * d0 + p[:, 7:8] * d1 + p[:, 10:11] * d2
+        n1 = p[:, 5:6] * d0 + p[:, 8:9] * d1 + p[:, 11:12] * d2
+        n2 = p[:, 6:7] * d0 + p[:, 9:10] * d1 + p[:, 12:13] * d2
+    else:
+        n0 = n1 = n2 = None
     return d0, d1, d2, n0, n1, n2, ud, dd, t
 
 
-def _chunk_terms(p, rx, ry, basis5, need_normals=True, seg_mask=None):
-    """Per-pair blend quantities for one [CHUNK, 32] payload block.
+def _chunk_terms(p, basis3, need_normals=True, seg_mask=None):
+    """Per-pair blend quantities for one [CHUNK, 16] payload block.
 
     seg_mask: [CHUNK, 1] bool — False for rows belonging to a neighboring
     tile's segment (unaligned head/tail of the DMA window); they blend and
     backpropagate as exact zeros.
     """
-    d0, d1, d2, n0, n1, n2, ud, dd, t = _chunk_geometry(p, rx, ry, basis5)
+    d0, d1, d2, n0, n1, n2, ud, dd, t = _chunk_geometry(
+        p, basis3, need_normals=need_normals)
     u0x, u0y, u0z = p[:, 13:14], p[:, 14:15], p[:, 15:16]
     v0 = u0x + t * d0
     v1 = u0y + t * d1
@@ -315,7 +316,7 @@ def _fwd_kernel(ntx: int, with_reg: bool, bounds_ref, meta_ref,
     base = pl.multiple_of((seg_s // CHUNK_SIZE) * CHUNK_SIZE, CHUNK_SIZE)
     nc = jnp.where(seg_e > seg_s, (seg_e - base + CHUNK_SIZE - 1) // CHUNK_SIZE, 0)
     rx, ry, R3, _, _ = _rays_for_tile(t_id, ntx, meta_ref)
-    basis5 = _geometry_basis(R3)
+    basis3 = _geometry_basis(R3)
     bg0, bg1, bg2 = meta_ref[0, 2], meta_ref[0, 3], meta_ref[0, 4]
 
     def copy_in(c, slot):
@@ -355,11 +356,11 @@ def _fwd_kernel(ntx: int, with_reg: bool, bounds_ref, meta_ref,
             copy_in(c + 1, jax.lax.rem(c + 1, 2)).start()
 
         copy_in(c, slot).wait()
-        p = _transpose_mxu(pbuf[slot])  # [32, CHUNK] -> [CHUNK, 32]
+        p = _transpose_mxu(pbuf[slot])  # [16, CHUNK] -> [CHUNK, 16]
 
         grow = base + c * CHUNK_SIZE + row_i
         seg_mask = (grow >= seg_s) & (grow < seg_e)
-        f = _chunk_terms(p, rx, ry, basis5, need_normals=with_reg, seg_mask=seg_mask)
+        f = _chunk_terms(p, basis3, need_normals=with_reg, seg_mask=seg_mask)
         T_excl = T * _shift_down(f.prod_incl, 1, 1.0)
         w = f.a * T_excl * (T_excl > TRANSMITTANCE_EPS)
 
@@ -391,7 +392,7 @@ def _fwd_kernel(ntx: int, with_reg: bool, bounds_ref, meta_ref,
             depth = jnp.where(has, tmed, depth)
             med = jnp.where(has, (c * CHUNK_SIZE + idxloc).astype(jnp.float32), med)
 
-        T = T * f.prod_incl[CHUNK_SIZE - 1 : CHUNK_SIZE]
+        T = T * f.prod_incl[CHUNK_SIZE - 1: CHUNK_SIZE]
         return (c + 1, T, r0, r1, r2, m0, m1, m2, acc, s1, s2, depth, med)
 
     out = jax.lax.while_loop(cond, body, init)
@@ -429,7 +430,8 @@ def _fwd_kernel(ntx: int, with_reg: bool, bounds_ref, meta_ref,
 
 def rasterize_fwd_pallas(payload, binning: Binning, meta_vec, ntx: int, ntiles: int,
                          interpret=False, with_reg=True):
-    """Run the forward blend kernel. Returns [NTILES, 16, 1024]."""
+    """Run the forward blend kernel. payload: [16, CAP]. Returns
+    [NTILES, 16, 1024]."""
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
@@ -460,10 +462,12 @@ def rasterize_fwd_pallas(payload, binning: Binning, meta_vec, ntx: int, ntiles: 
 def _bwd_kernel(
     ntx: int, halfw: float, halfh: float, with_stats: bool, with_reg: bool,
     compact_cap: int,
-    bounds_ref, live_ref, cstart_ref, meta_ref, payload_hbm, fout_ref, gout_ref,
-    dslot_init_hbm, dslot_hbm, dbuf, pbuf, sem, wsem,
+    bounds_ref, live_ref, cstart_ref, meta_ref, payload_hbm, gid_hbm, aux_hbm,
+    fout_ref, gout_ref, dslot_init_hbm, gid_init_hbm, stat_init_hbm,
+    dslot_hbm, gidc_hbm, stat_hbm,
+    pbuf, gbuf, abuf, dbuf, gwbuf, sbuf, sem, gsem, asem, wsem, gwsem, swsem,
 ):
-    del dslot_init_hbm  # aliased with dslot_hbm; provides the zero background
+    del dslot_init_hbm, gid_init_hbm, stat_init_hbm  # aliased outputs: zeros
     t_id = pl.program_id(0)
     seg_s = bounds_ref[t_id]
     seg_e = bounds_ref[t_id + 1]
@@ -480,7 +484,7 @@ def _bwd_kernel(
     avail = jnp.maximum((compact_cap - cst) // CHUNK_SIZE, 0)
     nc = jnp.minimum(jnp.minimum(nc, live_ref[t_id]), avail)
     rx, ry, R3, px, py = _rays_for_tile(t_id, ntx, meta_ref)
-    basis5 = _geometry_basis(R3)
+    basis3 = _geometry_basis(R3)
     bg0, bg1, bg2 = meta_ref[0, 2], meta_ref[0, 3], meta_ref[0, 4]
 
     # per-pixel cotangents and forward totals
@@ -489,9 +493,9 @@ def _bwd_kernel(
     g_depth = gout_ref[0, 6:7, :]
     g_alpha = gout_ref[0, 7:8, :]
     g_dist = gout_ref[0, 8:9, :]
-    T_fin = fout_ref[0, CH_TFINAL : CH_TFINAL + 1, :]
-    d1_tot = fout_ref[0, CH_DFINAL : CH_DFINAL + 1, :]
-    med_idx = fout_ref[0, CH_MEDIDX : CH_MEDIDX + 1, :]
+    T_fin = fout_ref[0, CH_TFINAL: CH_TFINAL + 1, :]
+    d1_tot = fout_ref[0, CH_DFINAL: CH_DFINAL + 1, :]
+    med_idx = fout_ref[0, CH_MEDIDX: CH_MEDIDX + 1, :]
     acc_tot = fout_ref[0, 7:8, :]
 
     rgbnb0 = fout_ref[0, 0:1, :] - T_fin * bg0
@@ -517,6 +521,20 @@ def _bwd_kernel(
             sem.at[slot],
         )
 
+    def gid_in(c, slot):
+        return pltpu.make_async_copy(
+            gid_hbm.at[:, pl.ds(base + c * CHUNK_SIZE, CHUNK_SIZE)],
+            gbuf.at[slot],
+            gsem.at[slot],
+        )
+
+    def aux_in(c, slot):
+        return pltpu.make_async_copy(
+            aux_hbm.at[:, pl.ds(base + c * CHUNK_SIZE, CHUNK_SIZE)],
+            abuf.at[slot],
+            asem.at[slot],
+        )
+
     def copy_out(c, slot):
         return pltpu.make_async_copy(
             dbuf.at[slot],
@@ -524,9 +542,26 @@ def _bwd_kernel(
             wsem.at[slot],
         )
 
+    def gid_out(c, slot):
+        return pltpu.make_async_copy(
+            gwbuf.at[slot],
+            gidc_hbm.at[:, pl.ds(cst + c * CHUNK_SIZE, CHUNK_SIZE)],
+            gwsem.at[slot],
+        )
+
+    def stat_out(c, slot):
+        return pltpu.make_async_copy(
+            sbuf.at[slot],
+            stat_hbm.at[:, pl.ds(cst + c * CHUNK_SIZE, CHUNK_SIZE)],
+            swsem.at[slot],
+        )
+
     @pl.when(nc > 0)
     def _():
         copy_in(0, 0).start()
+        gid_in(0, 0).start()
+        if with_stats:
+            aux_in(0, 0).start()
 
     row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_SIZE, 1), 0)
     ones_row = jnp.ones((1, NPIX), jnp.float32)
@@ -538,15 +573,20 @@ def _bwd_kernel(
         @pl.when(c + 1 < nc)
         def _():
             copy_in(c + 1, jax.lax.rem(c + 1, 2)).start()
+            gid_in(c + 1, jax.lax.rem(c + 1, 2)).start()
+            if with_stats:
+                aux_in(c + 1, jax.lax.rem(c + 1, 2)).start()
 
         copy_in(c, slot).wait()
-        pv = pbuf[slot]
-        p = _transpose_mxu(pv)  # [32, CHUNK] -> [CHUNK, 32]
-        gid_row = pv[31:32, :]  # exact f32 gaussian ids (build_payload32)
+        gid_in(c, slot).wait()
+        if with_stats:
+            aux_in(c, slot).wait()
+        pT = pbuf[slot]  # [16, CHUNK]: M rows / u0 as [1, G] vectors
+        p = _transpose_mxu(pT)  # [CHUNK, 16]
 
         grow = base + c * CHUNK_SIZE + row_i
         seg_mask = (grow >= seg_s) & (grow < seg_e)
-        f = _chunk_terms(p, rx, ry, basis5, need_normals=with_reg, seg_mask=seg_mask)
+        f = _chunk_terms(p, basis3, need_normals=with_reg, seg_mask=seg_mask)
         T_excl = T * _shift_down(f.prod_incl, 1, 1.0)
         cutoff = T_excl > TRANSMITTANCE_EPS
         w = f.a * T_excl * cutoff
@@ -593,10 +633,10 @@ def _bwd_kernel(
         op = p[:, 3:4]
         dL_dE = op * dL_da
         dop_pix = f.E * dL_da * f.active
-        dL_dmv = -0.5 * f.E * dL_dE * jnp.float32(1.0)
+        dL_dmv = -0.5 * f.E * dL_dE
         dL_dmv = jnp.where(f.active, dL_dmv, 0.0)
 
-        # mv = |v|^2, v = u0 + t d, t = -ud/dd, dd = r.n, ud = b.r
+        # mv = |v|^2, v = u0 + t d, t = -ud/dd, dd = |d|^2, ud = u0 . d
         dv0 = 2.0 * f.v0 * dL_dmv
         dv1 = 2.0 * f.v1 * dL_dmv
         dv2 = 2.0 * f.v2 * dL_dmv
@@ -613,9 +653,10 @@ def _bwd_kernel(
         # densification stats (reference's pseudo-gradient, backward.cu:896-909)
         # — compiled out after densification ends (with_stats=False)
         if with_stats:
-            ca, cb, cc = p[:, 26:27], p[:, 27:28], p[:, 28:29]
-            dxp = p[:, 29:30] - (px - 0.5)
-            dyp = p[:, 30:31] - (py - 0.5)
+            aux = _transpose_mxu(abuf[slot])  # [8, CHUNK] -> [CHUNK, 8]
+            ca, cb, cc = aux[:, 0:1], aux[:, 1:2], aux[:, 2:3]
+            dxp = aux[:, 3:4] - (px - 0.5)
+            dyp = aux[:, 4:5] - (py - 0.5)
             dL_dG2 = op * dL_da * f.active
             gx = dL_dG2 * (-f.E) * (ca * dxp + cb * dyp) * halfw
             gy = dL_dG2 * (-f.E) * (cb * dxp + cc * dyp) * halfh
@@ -634,7 +675,7 @@ def _bwd_kernel(
         out_all = _dot_nt(basis, jnp.concatenate(rhs, axis=0))  # [7, nb*G]
 
         def blk(i, r0, r1):
-            return out_all[r0:r1, i * Gn : (i + 1) * Gn]
+            return out_all[r0:r1, i * Gn: (i + 1) * Gn]
 
         dM0_t = blk(0, 0, 3)  # [3, G] = rows (d/drx, d/dry, d/d1) of dM row 0
         dM1_t = blk(1, 0, 3)
@@ -646,50 +687,74 @@ def _bwd_kernel(
         drgb_t = blk(7, 3, 6)
         du0_t = jnp.concatenate([blk(8, 6, 7), blk(9, 6, 7), blk(10, 6, 7)], axis=0)
         dop_t = blk(11, 6, 7)
-        if with_stats:
-            stats_t = jnp.concatenate(
-                [blk(12, 6, 7), blk(13, 6, 7), blk(14, 6, 7)], axis=0)
-        else:
-            stats_t = jnp.zeros((3, CHUNK_SIZE), jnp.float32)
-        dsig_t = jnp.concatenate(
-            [
-                dn0_t[0:1],
-                dn0_t[1:2] + dn1_t[0:1],
-                dn0_t[2:3] + dn2_t[0:1],
-                dn1_t[1:2],
-                dn1_t[2:3] + dn2_t[1:2],
-                dn2_t[2:3],
-            ],
-            axis=0,
-        )
-        zero1 = jnp.zeros((1, Gn), jnp.float32)
+
+        # In-kernel quadric chain (replaces the old per-slot Sigma/b gradient
+        # columns; all [1, G]-wide VPU ops):
+        #   Sigma = M^T M  (dSig packed upper-tri s0..s5):
+        #     dM += M (H),  H = [[2s0, s1, s2], [s1, 2s3, s4], [s2, s4, 2s5]]
+        #   b = M^T u0 (db from the ud projection):
+        #     dM += outer(u0, db),  du0 += M db
+        s0 = dn0_t[0:1]
+        s1 = dn0_t[1:2] + dn1_t[0:1]
+        s2 = dn0_t[2:3] + dn2_t[0:1]
+        s3 = dn1_t[1:2]
+        s4 = dn1_t[2:3] + dn2_t[1:2]
+        s5 = dn2_t[2:3]
+        H = ((2.0 * s0, s1, s2), (s1, 2.0 * s3, s4), (s2, s4, 2.0 * s5))
+
+        def Mrow(a):
+            return (pT[4 + 3 * a: 5 + 3 * a], pT[5 + 3 * a: 6 + 3 * a],
+                    pT[6 + 3 * a: 7 + 3 * a])
+
+        u0v = (pT[13:14], pT[14:15], pT[15:16])
+        dM_rows = []
+        du0_rows = []
+        for a in range(3):
+            Ma = Mrow(a)
+            row = []
+            for bcol in range(3):
+                val = (Ma[0] * H[0][bcol] + Ma[1] * H[1][bcol] + Ma[2] * H[2][bcol]
+                       + u0v[a] * db_t[bcol: bcol + 1])
+                row.append(val)
+            dM_rows.append(jnp.concatenate(row, axis=0))  # [3, G]
+            du0_rows.append(Ma[0] * db_t[0:1] + Ma[1] * db_t[1:2] + Ma[2] * db_t[2:3])
+        dM0_t = dM0_t + dM_rows[0]
+        dM1_t = dM1_t + dM_rows[1]
+        dM2_t = dM2_t + dM_rows[2]
+        du0_t = du0_t + jnp.concatenate(du0_rows, axis=0)
+
         drow_t = jnp.concatenate(
             [
                 drgb_t,  # 0:3
                 dop_t,  # 3
                 dM0_t, dM1_t, dM2_t,  # 4:13
                 du0_t,  # 13:16
-                dsig_t,  # 16:22
-                db_t,  # 22:25
-                zero1,  # 25
-                stats_t,  # 26:29
-                zero1, zero1,  # 29:31
-                gid_row,  # 31: reduction id, rides the output DMA
             ],
             axis=0,
-        )
+        )  # [16, G]
 
         wslot = jax.lax.rem(c, 2)
 
         @pl.when(c >= 2)
         def _():
             copy_out(c - 2, wslot).wait()
+            gid_out(c - 2, wslot).wait()
+            if with_stats:
+                stat_out(c - 2, wslot).wait()
 
-        dbuf[wslot] = drow_t
+        dbuf[wslot] = drow_t  # [16, G]
+        gwbuf[wslot] = gbuf[slot]
         copy_out(c, wslot).start()
+        gid_out(c, wslot).start()
+        if with_stats:
+            stats_t = jnp.concatenate(
+                [blk(12, 6, 7), blk(13, 6, 7), blk(14, 6, 7),
+                 jnp.zeros((5, Gn), jnp.float32)], axis=0)  # [8, G]
+            sbuf[wslot] = stats_t
+            stat_out(c, wslot).start()
 
-        T = T * f.prod_incl[CHUNK_SIZE - 1 : CHUNK_SIZE]
-        PwF = incl[CHUNK_SIZE - 1 : CHUNK_SIZE]
+        T = T * f.prod_incl[CHUNK_SIZE - 1: CHUNK_SIZE]
+        PwF = incl[CHUNK_SIZE - 1: CHUNK_SIZE]
         return (c + 1, T, PwF)
 
     # Early exit once every pixel is saturated: all remaining visits have
@@ -708,15 +773,24 @@ def _bwd_kernel(
     @pl.when(c_end < nc)
     def _():
         copy_in(c_end, jax.lax.rem(c_end, 2)).wait()
+        gid_in(c_end, jax.lax.rem(c_end, 2)).wait()
+        if with_stats:
+            aux_in(c_end, jax.lax.rem(c_end, 2)).wait()
 
     # drain outstanding writes
     @pl.when(c_end >= 2)
     def _():
         copy_out(c_end - 2, jax.lax.rem(c_end - 2, 2)).wait()
+        gid_out(c_end - 2, jax.lax.rem(c_end - 2, 2)).wait()
+        if with_stats:
+            stat_out(c_end - 2, jax.lax.rem(c_end - 2, 2)).wait()
 
     @pl.when(c_end >= 1)
     def _():
         copy_out(c_end - 1, jax.lax.rem(c_end - 1, 2)).wait()
+        gid_out(c_end - 1, jax.lax.rem(c_end - 1, 2)).wait()
+        if with_stats:
+            stat_out(c_end - 1, jax.lax.rem(c_end - 1, 2)).wait()
 
 
 def compact_capacity_for(capacity: int, ntiles: int) -> int:
@@ -727,14 +801,15 @@ def compact_capacity_for(capacity: int, ntiles: int) -> int:
 def rasterize_bwd_pallas(
     payload, fout, gout, binning: Binning, meta_vec, ntx: int, ntiles: int,
     halfw: float, halfh: float, interpret=False, with_stats=True, with_reg=True,
-    compact_cap: int = 0,
+    compact_cap: int = 0, aux_payload=None,
 ):
     """Run the backward kernel.
 
-    Returns COMPACTED per-slot gradient rows [32, compact_cap]: each tile's
-    live (pre-saturation) chunks are packed at the compact start the forward
-    assigned it (fout channels CH_LIVEC / CH_CSTART); row 31 carries the f32
-    gaussian id of each slot for the subsequent segment-sum. With the default
+    Returns (dslot [16, compact_cap] f32, gid [compact_cap] int32,
+    stats [8, compact_cap] f32 or None): each tile's live (pre-saturation)
+    chunks are packed at the compact start the forward assigned it (fout
+    channels CH_LIVEC / CH_CSTART); the int32 gid stream carries each row's
+    gaussian id for the subsequent per-gaussian reduction. With the default
     compact_cap = capacity + ntiles*CHUNK the packing cannot overflow; a
     tighter cap must be guarded by the forward-side demand telemetry.
     """
@@ -746,38 +821,88 @@ def rasterize_bwd_pallas(
     # silently corrupting compact gradient writes
     assert compact_cap < (1 << 24), (
         f"compact capacity {compact_cap} exceeds exact-f32 cursor range")
+    if with_stats:
+        assert aux_payload is not None, "with_stats requires the aux stream"
+    else:
+        # unused dummy (static python branch keeps it out of the kernel DMAs)
+        aux_payload = jnp.zeros((AUX_COLS, CHUNK_SIZE), jnp.float32)
     live = fout[:, CH_LIVEC, 0].astype(jnp.int32)
     cstart = fout[:, CH_CSTART, 0].astype(jnp.int32)
+    gids2d = binning.slot_to_gaussian[None, :]  # [1, CAP] int32
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda t, *s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # payload
+            pl.BlockSpec(memory_space=pl.ANY),  # gid stream
+            pl.BlockSpec(memory_space=pl.ANY),  # aux stream
+            pl.BlockSpec((1, OUT_CH, NPIX), lambda t, *s: (t, 0, 0)),
+            pl.BlockSpec((1, OUT_CH, NPIX), lambda t, *s: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # dslot init (alias)
+            pl.BlockSpec(memory_space=pl.ANY),  # gid init (alias)
+            pl.BlockSpec(memory_space=pl.ANY),  # stats init (alias)
+        ],
+        out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, OUT_CH, NPIX), lambda t, *s: (t, 0, 0)),
-            pl.BlockSpec((1, OUT_CH, NPIX), lambda t, *s: (t, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),
-            pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),
+            pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),  # payload in
+            pltpu.VMEM((2, 1, CHUNK_SIZE), jnp.int32),  # gid in
+            pltpu.VMEM((2, AUX_COLS, CHUNK_SIZE), jnp.float32),  # aux in
+            pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),  # drow out
+            pltpu.VMEM((2, 1, CHUNK_SIZE), jnp.int32),  # gid out
+            pltpu.VMEM((2, STAT_COLS, CHUNK_SIZE), jnp.float32),  # stats out
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    # The output is aliased to a zero-initialized input so the region beyond
-    # the final cursor keeps exactly-zero gradient rows (id 0, zero add).
+    # Outputs alias zero-initialized inputs so regions beyond the final
+    # cursor keep exactly-zero gradient rows (gid 0, zero add: harmless in
+    # the reduction).
     dslot_init = jnp.zeros((P_COLS, compact_cap), jnp.float32)
-    return pl.pallas_call(
+    gid_init = jnp.zeros((1, compact_cap), jnp.int32)
+    stat_init = jnp.zeros((STAT_COLS, compact_cap), jnp.float32)
+    dslot, gidc, stats = pl.pallas_call(
         functools.partial(_bwd_kernel, ntx, halfw, halfh, with_stats, with_reg,
                           compact_cap),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P_COLS, compact_cap), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((P_COLS, compact_cap), jnp.float32),
+            jax.ShapeDtypeStruct((1, compact_cap), jnp.int32),
+            jax.ShapeDtypeStruct((STAT_COLS, compact_cap), jnp.float32),
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        input_output_aliases={7: 0},
-    )(binning.bounds, live, cstart, meta_vec, payload, fout, gout, dslot_init)
+        input_output_aliases={9: 0, 10: 1, 11: 2},
+    )(binning.bounds, live, cstart, meta_vec, payload, gids2d, aux_payload,
+      fout, gout, dslot_init, gid_init, stat_init)
+    return dslot, gidc[0], (stats if with_stats else None)
+
+
+# ---------------------------------------------------------------------------
+# Per-gaussian gradient reduction
+# ---------------------------------------------------------------------------
+
+
+def reduce_compact_rows(dslot, gidc, stats, P: int):
+    """Per-gaussian sums of the compacted gradient rows.
+
+    dslot: [16, R] f32; gidc: [R] int32 (P for sentinel slots, 0 with zero
+    rows in the unwritten tail); stats: [8, R] or None.
+    Returns ([P, 16], [P, 3] or None).
+    """
+    per_g = jax.ops.segment_sum(dslot.T, gidc, num_segments=P + 1)[:P]
+    per_s = None
+    if stats is not None:
+        per_s = jax.ops.segment_sum(stats.T, gidc, num_segments=P + 1)[:P, :3]
+    return per_g, per_s
 
 
 # ---------------------------------------------------------------------------
@@ -825,7 +950,7 @@ def _meta_vec(focal_x, focal_y, bg, width, height):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def rasterize(meta: RasterMeta, rgb, op_eff, M, u0, sigma6, bvec, conic, mean2d,
+def rasterize(meta: RasterMeta, rgb, op_eff, M, u0, conic, mean2d,
               carrier, focal_x, focal_y, bg, binning: Binning):
     """Differentiable tiled rasterization -> [NTILES, 16, 1024].
 
@@ -833,46 +958,45 @@ def rasterize(meta: RasterMeta, rgb, op_eff, M, u0, sigma6, bvec, conic, mean2d,
     (the reference's screenspace_points trick, gaussian_renderer/__init__.py:
     26-30 + train.py:253-256). Aux channels 9..15 get zero cotangent.
     """
-    out, _ = _raster_fwd(meta, rgb, op_eff, M, u0, sigma6, bvec, conic, mean2d,
+    out, _ = _raster_fwd(meta, rgb, op_eff, M, u0, conic, mean2d,
                          carrier, focal_x, focal_y, bg, binning)
     return out
 
 
-def _raster_fwd(meta, rgb, op_eff, M, u0, sigma6, bvec, conic, mean2d, carrier,
+def _raster_fwd(meta, rgb, op_eff, M, u0, conic, mean2d, carrier,
                 focal_x, focal_y, bg, binning):
+    P = rgb.shape[0]
+    # ids ride a dedicated int32 stream through the backward; the payload
+    # itself carries no id column
+    assert P < (1 << 24), f"gaussian pool {P} exceeds exact-f32 id range"
     mv = _meta_vec(focal_x, focal_y, bg, meta.width, meta.height)
-    payload = build_payload32(rgb, op_eff, M, u0, sigma6, bvec, conic, mean2d, binning)
+    payload = build_payload16(rgb, op_eff, M, u0, binning)
     out = rasterize_fwd_pallas(payload, binning, mv, meta.ntx, meta.ntx * meta.nty,
                                interpret=meta.interpret, with_reg=meta.with_reg)
-    res = (payload, out, binning, mv, rgb.shape[0])
+    res = (payload, out, binning, mv, conic, mean2d, P)
     return out, res
 
 
 def _raster_bwd(meta, res, gout):
-    payload, fout, binning, mv, P = res
-    dslot_t = rasterize_bwd_pallas(
+    payload, fout, binning, mv, conic, mean2d, P = res
+    aux = build_aux8(conic, mean2d, binning) if meta.with_stats else None
+    dslot, gidc, stats = rasterize_bwd_pallas(
         payload, fout, gout, binning, mv, meta.ntx, meta.ntx * meta.nty,
         meta.width / 2.0, meta.height / 2.0, interpret=meta.interpret,
         with_stats=meta.with_stats, with_reg=meta.with_reg,
-        compact_cap=meta.compact_cap,
+        compact_cap=meta.compact_cap, aux_payload=aux,
     )
-    # Row 31 carries each compact row's gaussian id (payload col 31): padded
-    # sentinel slots carry P, the zero tail carries 0 with zero rows — both
-    # reduce harmlessly. ~4x fewer rows than the old CAP-wide segment-sum.
-    gid = dslot_t[31].astype(jnp.int32)
-    per_g = jax.ops.segment_sum(dslot_t.T, gid, num_segments=P + 1)[:P]
+    per_g, per_s = reduce_compact_rows(dslot, gidc, stats, P)
     drgb = per_g[:, 0:3]
     dop = per_g[:, 3]
     dM = per_g[:, 4:13].reshape(P, 3, 3)
     du0 = per_g[:, 13:16]
-    dsig = per_g[:, 16:22]
-    db = per_g[:, 22:25]
-    dcarrier = per_g[:, G_STATS : G_STATS + 3]
+    dcarrier = per_s if per_s is not None else jnp.zeros((P, 3), jnp.float32)
     zconic = jnp.zeros((P, 3), jnp.float32)
     zmean2d = jnp.zeros((P, 2), jnp.float32)
     zf = jnp.zeros((), jnp.float32)
     zbg = jnp.zeros((3,), jnp.float32)
-    return (drgb, dop, dM, du0, dsig, db, zconic, zmean2d, dcarrier,
+    return (drgb, dop, dM, du0, zconic, zmean2d, dcarrier,
             zf, zf, zbg, None)
 
 

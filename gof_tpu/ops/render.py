@@ -88,8 +88,6 @@ def render(
         carrier = jnp.zeros((P, 3), jnp.float32)
 
     if backend == "pallas":
-        sigma6 = rp.pack_sigma6(pre.v2g_M)
-        bvec = jnp.einsum("pji,pj->pi", pre.v2g_M, pre.v2g_u0)
         ntiles = ntx * nty
         ccap = compact_capacity or rp.compact_capacity_for(capacity, ntiles)
         meta = rp.RasterMeta(
@@ -98,7 +96,7 @@ def render(
             compact_cap=ccap,
         )
         tile_out = rp.rasterize(
-            meta, pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, sigma6, bvec,
+            meta, pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0,
             pre.conic, pre.mean2d, carrier, camera.focal_x, camera.focal_y, bg, b,
         )
         last = jax.lax.stop_gradient(tile_out[ntiles - 1])

@@ -91,10 +91,7 @@ class TestIntegrate:
         rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
         b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=512)
         op_eff = opac * jnp.where(pre.valid, pre.coef, 0.0)
-        sigma6 = rp.pack_sigma6(pre.v2g_M)
-        bvec = jnp.einsum("pji,pj->pi", pre.v2g_M, pre.v2g_u0)
-        payload = rp.build_payload32(pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0,
-                                     sigma6, bvec, pre.conic, pre.mean2d, b)
+        payload = rp.build_payload16(pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, b)
 
         qpts = jnp.asarray(rng.uniform(-1, 1, (200, 3)).astype(np.float32)
                            + np.array([0, 0, 5.0], np.float32))

@@ -46,11 +46,9 @@ def setup(rng, **kw):
 
 
 def pallas_image(pre, b, op_eff, bg, cam, meta, ntx, nty, carrier=None):
-    sigma6 = rp.pack_sigma6(pre.v2g_M)
-    bvec = jnp.einsum("pji,pj->pi", pre.v2g_M, pre.v2g_u0)
     if carrier is None:
         carrier = jnp.zeros((pre.rgb.shape[0], 3))
-    out = rp.rasterize(meta, pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, sigma6, bvec,
+    out = rp.rasterize(meta, pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0,
                        pre.conic, pre.mean2d, carrier, cam.focal_x, cam.focal_y, bg, b)
     return tiled_ref.assemble_image(out, ntx, nty, cam.width, cam.height)
 
@@ -133,9 +131,7 @@ class TestPallasBackward:
         gw = jax.random.normal(key, (8, nty * 32, ntx * 32)) * 0.1
 
         def loss_pallas(rgb, op, M, u0):
-            sigma6 = rp.pack_sigma6(M)
-            bvec = jnp.einsum("pji,pj->pi", M, u0)
-            out = rp.rasterize(meta, rgb, op, M, u0, sigma6, bvec, pre.conic,
+            out = rp.rasterize(meta, rgb, op, M, u0, pre.conic,
                                pre.mean2d, jnp.zeros((rgb.shape[0], 3)),
                                cam.focal_x, cam.focal_y, bg, b)
             img = tiled_ref.assemble_image(out, ntx, nty, ntx * 32, nty * 32)
@@ -169,9 +165,7 @@ class TestPallasBackward:
         pre, b, op_eff, bg, cam, meta, ntx, nty = setup(rng, n=10, width=32, height=32)
 
         def loss_pallas(M, u0):
-            sigma6 = rp.pack_sigma6(M)
-            bvec = jnp.einsum("pji,pj->pi", M, u0)
-            out = rp.rasterize(meta, pre.rgb, op_eff, M, u0, sigma6, bvec, pre.conic,
+            out = rp.rasterize(meta, pre.rgb, op_eff, M, u0, pre.conic,
                                pre.mean2d, jnp.zeros((10, 3)), cam.focal_x, cam.focal_y, bg, b)
             img = tiled_ref.assemble_image(out, ntx, nty, ntx * 32, nty * 32)
             return jnp.sum(img[8])
@@ -254,9 +248,7 @@ class TestPallasBackward:
         meta = rp.RasterMeta(ntx=ntx, nty=nty, width=32, height=32, interpret=True)
 
         def depth_loss(u0):
-            sigma6 = rp.pack_sigma6(pre.v2g_M)
-            bvec = jnp.einsum("pji,pj->pi", pre.v2g_M, u0)
-            out = rp.rasterize(meta, pre.rgb, op_eff, pre.v2g_M, u0, sigma6, bvec,
+            out = rp.rasterize(meta, pre.rgb, op_eff, pre.v2g_M, u0,
                                pre.conic, pre.mean2d, jnp.zeros((2, 3)),
                                cam.focal_x, cam.focal_y, jnp.zeros(3), b)
             img = tiled_ref.assemble_image(out, ntx, nty, 32, 32)
@@ -298,9 +290,7 @@ class TestWithRegOff:
 
         def loss(m):
             def f(rgb, op, M, u0):
-                sigma6 = rp.pack_sigma6(M)
-                bvec = jnp.einsum("pji,pj->pi", M, u0)
-                out = rp.rasterize(m, rgb, op, M, u0, sigma6, bvec, pre.conic,
+                out = rp.rasterize(m, rgb, op, M, u0, pre.conic,
                                    pre.mean2d, jnp.zeros((rgb.shape[0], 3)),
                                    cam.focal_x, cam.focal_y, bg, b)
                 img = tiled_ref.assemble_image(out, ntx, nty, ntx * 32, nty * 32)
