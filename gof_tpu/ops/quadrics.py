@@ -37,26 +37,38 @@ from .. import sh as sh_lib
 from ..constants import FRUSTUM_NEAR
 
 
+def _rot_comps(rotation: jnp.ndarray):
+    """Normalized-quaternion rotation matrix as 9 elementwise components.
+
+    Batched [P, 3, 3] matmul chains lower to padded tiny MXU dots on TPU
+    (measured ~80 ms for the preprocess VJP at 1M gaussians); keeping every
+    intermediate [P]-shaped keeps forward AND jax.grad backward purely on
+    the VPU elementwise path.
+    """
+    q = rotation / (jnp.linalg.norm(rotation, axis=-1, keepdims=True) + 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return (
+        (1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)),
+        (2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)),
+        (2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)),
+    )
+
+
 def cov3d_from_scaling_rotation(scaling: jnp.ndarray, rotation: jnp.ndarray) -> jnp.ndarray:
     """World covariance Sigma = R S^2 R^T, upper triangle (..., 6).
 
     Matches computeCov3D (forward.cu:129-163) / build_covariance_from_scaling
     _rotation (gaussian_model.py:77-82). `rotation` is a (w,x,y,z) quaternion.
     """
-    from ..transforms import quat_to_rot
+    R = _rot_comps(rotation)
+    s2 = (scaling[..., 0] ** 2, scaling[..., 1] ** 2, scaling[..., 2] ** 2)
 
-    R = quat_to_rot(rotation)  # (..., 3, 3)
-    M = R * scaling[..., None, :]  # R @ diag(s)
-    sigma = M @ jnp.swapaxes(M, -1, -2)
+    def sig(i, k):
+        return (R[i][0] * R[k][0] * s2[0] + R[i][1] * R[k][1] * s2[1]
+                + R[i][2] * R[k][2] * s2[2])
+
     return jnp.stack(
-        [
-            sigma[..., 0, 0],
-            sigma[..., 0, 1],
-            sigma[..., 0, 2],
-            sigma[..., 1, 1],
-            sigma[..., 1, 2],
-            sigma[..., 2, 2],
-        ],
+        [sig(0, 0), sig(0, 1), sig(0, 2), sig(1, 1), sig(1, 2), sig(2, 2)],
         axis=-1,
     )
 
@@ -81,19 +93,39 @@ def view_to_gaussian(
     where Sigma_v2g = M^T M, B = M^T u0, C = u0 . u0. The reference adds 1e-7
     to s^2 when inverting (forward.cu:255); we match by using
     s_eff = sqrt(s^2 + 1e-7).
-    """
-    from ..transforms import quat_to_rot
 
-    R_g2w = quat_to_rot(rotation)  # gaussian -> world
+    All math is componentwise [P]-vector arithmetic (see _rot_comps).
+    """
+    Rg = _rot_comps(rotation)  # gaussian -> world
     W = world_view[..., :3, :3]
     tvec = world_view[..., :3, 3]
-    R_g2v = W @ R_g2w
-    t_g2v = (W @ mean[..., None])[..., 0] + tvec
-    Q = jnp.swapaxes(R_g2v, -1, -2)  # view -> gaussian rotation
-    t2 = -(Q @ t_g2v[..., None])[..., 0]  # camera origin in gaussian frame
+    # R_g2v = W @ R_g2w (W entries are per-camera scalars)
+    Rv = tuple(
+        tuple(
+            W[..., i, 0] * Rg[0][j] + W[..., i, 1] * Rg[1][j] + W[..., i, 2] * Rg[2][j]
+            for j in range(3)
+        )
+        for i in range(3)
+    )
+    mx, my, mz = mean[..., 0], mean[..., 1], mean[..., 2]
+    tg = tuple(
+        W[..., i, 0] * mx + W[..., i, 1] * my + W[..., i, 2] * mz + tvec[..., i]
+        for i in range(3)
+    )
+    # Q = R_g2v^T (view -> gaussian); t2 = -(Q @ t_g2v)
     s_eff = jnp.sqrt(scaling * scaling + 1e-7)
-    M = Q / s_eff[..., :, None]
-    u0 = t2 / s_eff
+    se = (s_eff[..., 0], s_eff[..., 1], s_eff[..., 2])
+    # M = S^-1 Q: M[i][j] = Rv[j][i] / s_eff[i]
+    M = jnp.stack(
+        [jnp.stack([Rv[j][i] / se[i] for j in range(3)], axis=-1)
+         for i in range(3)],
+        axis=-2,
+    )
+    u0 = jnp.stack(
+        [-(Rv[0][i] * tg[0] + Rv[1][i] * tg[1] + Rv[2][i] * tg[2]) / se[i]
+         for i in range(3)],
+        axis=-1,
+    )
     return View2Gaussian(M=M, u0=u0)
 
 
@@ -163,12 +195,16 @@ def cov2d_ewa(
     """
     W = world_view[..., :3, :3]
     tvec = world_view[..., :3, 3]
-    p_view = (W @ mean[..., None])[..., 0] + tvec
-    tz = p_view[..., 2]
+    mx, my, mz = mean[..., 0], mean[..., 1], mean[..., 2]
+    pv = tuple(
+        W[..., i, 0] * mx + W[..., i, 1] * my + W[..., i, 2] * mz + tvec[..., i]
+        for i in range(3)
+    )
+    tz = pv[2]
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
-    tx = jnp.clip(p_view[..., 0] / tz, -limx, limx) * tz
-    ty = jnp.clip(p_view[..., 1] / tz, -limy, limy) * tz
+    tx = jnp.clip(pv[0] / tz, -limx, limx) * tz
+    ty = jnp.clip(pv[1] / tz, -limy, limy) * tz
 
     # J = [[fx/tz, 0, -fx tx/tz^2], [0, fy/tz, -fy ty/tz^2]]
     inv_tz = 1.0 / tz
@@ -177,25 +213,24 @@ def cov2d_ewa(
     j11 = focal_y * inv_tz
     j12 = -focal_y * ty * inv_tz * inv_tz
 
-    # Rows of A = J @ W (2x3)
-    a0 = j00[..., None] * W[..., 0, :] + j02[..., None] * W[..., 2, :]
-    a1 = j11[..., None] * W[..., 1, :] + j12[..., None] * W[..., 2, :]
+    # Rows of A = J @ W (2x3), componentwise
+    a0 = tuple(j00 * W[..., 0, k] + j02 * W[..., 2, k] for k in range(3))
+    a1 = tuple(j11 * W[..., 1, k] + j12 * W[..., 2, k] for k in range(3))
 
-    # Sigma as full 3x3 from the 6-vector
+    # a^T Sigma b from the 6-vector (componentwise, no [P, 3, 3] tensors)
     c = cov3d
-    Sig = jnp.stack(
-        [
-            jnp.stack([c[..., 0], c[..., 1], c[..., 2]], axis=-1),
-            jnp.stack([c[..., 1], c[..., 3], c[..., 4]], axis=-1),
-            jnp.stack([c[..., 2], c[..., 4], c[..., 5]], axis=-1),
-        ],
-        axis=-2,
-    )
-    s0 = jnp.einsum("...ij,...j->...i", Sig, a0)
-    s1 = jnp.einsum("...ij,...j->...i", Sig, a1)
-    cxx = jnp.sum(a0 * s0, axis=-1)
-    cxy = jnp.sum(a0 * s1, axis=-1)
-    cyy = jnp.sum(a1 * s1, axis=-1)
+    s0, s1c, s2c = c[..., 0], c[..., 1], c[..., 2]
+    s3, s4, s5 = c[..., 3], c[..., 4], c[..., 5]
+
+    def quad(a, b):
+        return (a[0] * b[0] * s0 + a[1] * b[1] * s3 + a[2] * b[2] * s5
+                + (a[0] * b[1] + a[1] * b[0]) * s1c
+                + (a[0] * b[2] + a[2] * b[0]) * s2c
+                + (a[1] * b[2] + a[2] * b[1]) * s4)
+
+    cxx = quad(a0, a0)
+    cxy = quad(a0, a1)
+    cyy = quad(a1, a1)
 
     det0 = jnp.maximum(1e-6, cxx * cyy - cxy * cxy)
     det1 = jnp.maximum(1e-6, (cxx + kernel_size) * (cyy + kernel_size) - cxy * cxy)
@@ -244,15 +279,19 @@ def preprocess(
     """
     W, H = camera.width, camera.height
     wv = camera.world_view
-    p_view = (wv[:3, :3] @ means3d[..., None])[..., 0] + wv[:3, 3]
-    depth = p_view[..., 2]
+    mx, my, mz = means3d[..., 0], means3d[..., 1], means3d[..., 2]
+    depth = wv[2, 0] * mx + wv[2, 1] * my + wv[2, 2] * mz + wv[2, 3]
     in_front = depth > FRUSTUM_NEAR  # auxiliary.h:177-202
 
-    from ..transforms import ndc_to_pixel, project_points
+    from ..transforms import ndc_to_pixel
 
-    p_ndc = project_points(means3d, camera.full_proj)
+    # transformPoint4x4 + w-division (forward.cu:328-331), componentwise
+    fp = camera.full_proj
+    pw = fp[3, 0] * mx + fp[3, 1] * my + fp[3, 2] * mz + fp[3, 3] + 1e-7
+    ndc_x = (fp[0, 0] * mx + fp[0, 1] * my + fp[0, 2] * mz + fp[0, 3]) / pw
+    ndc_y = (fp[1, 0] * mx + fp[1, 1] * my + fp[1, 2] * mz + fp[1, 3]) / pw
     mean2d = jnp.stack(
-        [ndc_to_pixel(p_ndc[..., 0], W), ndc_to_pixel(p_ndc[..., 1], H)], axis=-1
+        [ndc_to_pixel(ndc_x, W), ndc_to_pixel(ndc_y, H)], axis=-1
     )
 
     cov3d = cov3d_from_scaling_rotation(scales, rotations)

@@ -1,37 +1,68 @@
+"""Correctness + timing of the Pallas sorted windowed reduce vs segment_sum."""
 import time
-import jax, jax.numpy as jnp, numpy as np
 
-K, P = 1_120_000, 100_000
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gof_tpu.ops import reduce as red
+
 rng = np.random.default_rng(0)
-seg = jnp.asarray(rng.integers(0, P + 1, K), jnp.int32)
+P = 1_000_000
+R = 917_504
 
-def timed(name, fn, x, reps=6):
-    def body(x):
-        out = fn(x)
-        for _ in range(reps - 1):
-            eps = (out.ravel()[:1] * 1e-30).astype(x.dtype)
-            x = x + eps.reshape((1,) * x.ndim)
-            out = fn(x)
-        return out
-    f = jax.jit(body)
-    jax.block_until_ready(f(x))
-    t0 = time.perf_counter()
-    jax.block_until_ready(f(x))
-    print(f"{name:44s} {(time.perf_counter()-t0)/reps*1e3:8.2f} ms/op")
+# realistic id distribution: clustered + sparse tail + sentinels + zero tail
+ids = np.concatenate([
+    rng.integers(0, P, R - 20000),
+    rng.integers(P - 1000, P, 10000),  # dense tail
+    np.full(5000, P),  # sentinel
+    np.zeros(5000, np.int64),  # zero tail
+]).astype(np.int32)
+rng.shuffle(ids)
+rows = rng.normal(size=(16, R)).astype(np.float32)
+rows_j = jnp.asarray(rows)
+ids_j = jnp.asarray(ids)
 
-for D in (32, 8, 1):
-    d = jnp.asarray(rng.standard_normal((K, D)), jnp.float32)
-    timed(f"segment_sum [K,{D}] -> {P+1}", lambda x: jax.ops.segment_sum(x, seg, num_segments=P+1), d)
+out = jax.jit(lambda r, g: red.reduce_rows_by_gid(r, g, P))(rows_j, ids_j)
+ref = jax.jit(lambda r, g: jax.ops.segment_sum(
+    r.T, g, num_segments=P + 1)[:P])(rows_j, ids_j)
+err = float(jnp.max(jnp.abs(out - ref)))
+scale = float(jnp.max(jnp.abs(ref)))
+print(f"max abs err {err:.3e} (scale {scale:.3e})", flush=True)
+assert err / scale < 1e-5, "MISMATCH"
 
-d32 = jnp.asarray(rng.standard_normal((K, 32)), jnp.float32)
-# scatter in two halves concurrently? XLA serializes scatters to same buffer; use two buffers
-def two_half(x):
-    a = jax.ops.segment_sum(x[: K // 2], seg[: K // 2], num_segments=P + 1)
-    b = jax.ops.segment_sum(x[K // 2 :], seg[K // 2 :], num_segments=P + 1)
-    return a + b
-timed("segment_sum split into 2 independent halves", two_half, d32)
-def four_part(x):
-    q = K // 4
-    parts = [jax.ops.segment_sum(x[i*q:(i+1)*q], seg[i*q:(i+1)*q], num_segments=P+1) for i in range(4)]
-    return parts[0] + parts[1] + parts[2] + parts[3]
-timed("segment_sum split into 4 independent parts", four_part, d32)
+# tiny case: single chunk, all ids equal
+ids2 = jnp.zeros((1024,), jnp.int32)
+rows2 = jnp.ones((16, 1024), jnp.float32)
+out2 = jax.jit(lambda r, g: red.reduce_rows_by_gid(r, g, 50))(rows2, ids2)
+print("single-id sum:", float(out2[0, 0]), "(expect 1024)", flush=True)
+
+
+def t(name, f, args_list, scalar_of):
+    f = jax.jit(f)
+    o = f(*args_list[0])
+    _ = np.asarray(scalar_of(o))
+
+    def run(n):
+        t0 = time.perf_counter()
+        for i in range(n):
+            o = f(*args_list[i % len(args_list)])
+        _ = np.asarray(scalar_of(o))
+        return time.perf_counter() - t0
+
+    run(1)
+    d2 = run(2)
+    d10 = run(10)
+    print(f"{name:44s} {(d10 - d2) / 8 * 1e3:8.2f} ms", flush=True)
+
+
+rows_l = [rows_j, rows_j * 0.999, rows_j * 1.001]
+t("pallas sorted reduce [16,R]->P", lambda r, g: red.reduce_rows_by_gid(r, g, P),
+  [(r, ids_j) for r in rows_l], lambda o: o[0, 0])
+t("segment_sum [R,16]->P", lambda r, g: jax.ops.segment_sum(
+    r.T, g, num_segments=P + 1)[:P], [(r, ids_j) for r in rows_l],
+  lambda o: o[0, 0])
+
+rows24 = [jnp.concatenate([r, r[:8]], axis=0) for r in rows_l]
+t("pallas sorted reduce [24,R]->P", lambda r, g: red.reduce_rows_by_gid(r, g, P),
+  [(r, ids_j) for r in rows24], lambda o: o[0, 0])
