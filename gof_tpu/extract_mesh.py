@@ -23,6 +23,11 @@ def main(argv=None):
     parser.add_argument("--far", type=float, default=1e6)
     parser.add_argument("--binary_steps", type=int, default=8)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--shard", type=int, default=0,
+                        help="shard field evaluation points across N devices")
+    parser.add_argument("--texture_mesh", action="store_true",
+                        help="write vertex colors from the integrated color "
+                             "field (reference extract_mesh.py:106-111)")
     ns = parser.parse_args(argv)
     if ns.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -57,6 +62,8 @@ def main(argv=None):
         sh_degree=model_cfg.sh_degree, kernel_size=model_cfg.kernel_size,
         key_capacity=pipe.key_capacity, n_binary_steps=ns.binary_steps,
         filter_faces=ns.filter_mesh, near=ns.near, far=ns.far, interpret=ns.cpu,
+        shard=ns.shard, texture_mesh=ns.texture_mesh,
+        bg=[1.0, 1.0, 1.0] if model_cfg.white_background else [0.0, 0.0, 0.0],
     )
     print(f"mesh written to {path}")
 

@@ -111,20 +111,29 @@ def delaunay(points: np.ndarray, cache_path: str | None = None) -> np.ndarray:
 
 
 class FieldEvaluator:
-    """min-over-views opacity field, jitted per (n_points, view size)."""
+    """min-over-views opacity field, jitted per (n_points, view size).
+
+    mesh: optional jax.sharding.Mesh — the query points (embarrassingly
+    parallel N axis) are sharded across its devices with shard_map while the
+    model stays replicated; each device runs the full binning + integrate
+    kernel on its slice (`extract_mesh --shard N`).
+    """
 
     def __init__(self, params, state, cameras: List[cameras_lib.Camera],
                  sh_degree: int, kernel_size: float, key_capacity: int,
-                 interpret: bool = False):
+                 interpret: bool = False, mesh=None, bg=None):
         self.cameras = cameras
         self.interpret = interpret
         self.key_capacity = key_capacity
+        self.mesh = mesh
+        self.sh_degree = sh_degree
+        self.bg = jnp.zeros(3) if bg is None else jnp.asarray(bg, jnp.float32)
         g = params
         scales_f = gm.filtered_scaling(g, state.filter_3d)
         opac_f = gm.filtered_opacity(g, state.filter_3d)
         self.model = dict(
             xyz=g.xyz, scales=scales_f, rot=g.rotation, op=opac_f,
-            active=state.active,
+            active=state.active, shs=gm.get_features(g),
         )
         self.kernel_size = kernel_size
         self._jit_cache = {}
@@ -135,10 +144,11 @@ class FieldEvaluator:
             ntx, nty = binning.tile_grid(camera.width, camera.height)
             interpret = self.interpret
             kcap = self.key_capacity
-            pcap = max(1 << int(np.ceil(np.log2(max(n_points, integrate.PBLOCK)))), integrate.PBLOCK)
 
-            @jax.jit
-            def fn(points, xyz, scales, rot, op, active, camera):
+            def body(points, xyz, scales, rot, op, active, camera):
+                # points.shape[0] is the LOCAL count under shard_map
+                pcap = max(1 << int(np.ceil(np.log2(
+                    max(points.shape[0], integrate.PBLOCK)))), integrate.PBLOCK)
                 pre = quadrics.preprocess(
                     xyz, scales, rot, jnp.zeros((xyz.shape[0], 1, 3)), 0, camera,
                     self.kernel_size, active,
@@ -155,10 +165,32 @@ class FieldEvaluator:
                 )
                 return T, b.num_keys, b.overflow
 
+            if self.mesh is None:
+                fn = jax.jit(body)
+            else:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                axis = self.mesh.axis_names[0]
+
+                def sharded(points, xyz, scales, rot, op, active, camera):
+                    T, nk, ov = body(points, xyz, scales, rot, op, active,
+                                     camera)
+                    # binning is per-device identical (model replicated), but
+                    # reduce anyway so the outputs are formally replicated
+                    return (T, jax.lax.pmax(nk, axis),
+                            jax.lax.pmax(ov.astype(jnp.int32), axis) > 0)
+
+                fn = jax.jit(shard_map(
+                    sharded, mesh=self.mesh,
+                    in_specs=(P(axis),) + (P(),) * 6,
+                    out_specs=(P(axis), P(), P()),
+                    check_vma=False,
+                ))
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
-    def alpha(self, points: np.ndarray) -> np.ndarray:
+    def alpha(self, points: np.ndarray, cameras=None) -> np.ndarray:
         """field(x) = 1 - min over views of (1 - T_view(x))
         (evaluage_alpha, extract_mesh.py:16-34).
 
@@ -168,9 +200,18 @@ class FieldEvaluator:
         overflow here would drop visible gaussians from the alpha field, so
         grow + re-jit until every view fits.
         """
+        n_real = len(points)
         pts = jnp.asarray(points, jnp.float32)
+        if self.mesh is not None:
+            # pad to a multiple of the mesh size with far-away points
+            # (behind every camera -> T = 1, alpha = 0; sliced off below)
+            D = self.mesh.size
+            pad = (-n_real) % D
+            if pad:
+                pts = jnp.concatenate(
+                    [pts, jnp.full((pad, 3), 1e8, jnp.float32)], axis=0)
         final_alpha = jnp.ones((pts.shape[0],), jnp.float32)
-        for cam in self.cameras:
+        for cam in (self.cameras if cameras is None else cameras):
             for _ in range(8):
                 fn = self._view_fn(pts.shape[0], cam)
                 T, num_keys, ov = fn(
@@ -186,7 +227,78 @@ class FieldEvaluator:
                 raise RuntimeError(
                     f"field eval overflow persists at {self.key_capacity}")
             final_alpha = jnp.minimum(final_alpha, 1.0 - T)
-        return np.asarray(1.0 - final_alpha)
+        return np.asarray(1.0 - final_alpha)[:n_real]
+
+    def _color_fn(self, camera):
+        """Rendered image of one view + per-point pixel sampling (the
+        reference's color_integrated: out_color_integrated[p] = C + T*bg
+        where C is the blended color of the pixel p projects into,
+        forward.cu:1003,1208; the +T*bg term is image[:3]'s own
+        compositing)."""
+        key = ("color", camera.width, camera.height)
+        if key not in self._jit_cache:
+            from ..ops import render as render_lib
+
+            interpret = self.interpret
+            kcap = self.key_capacity
+
+            @jax.jit
+            def fn(points, xyz, scales, rot, op, active, shs, camera):
+                out = render_lib.render(
+                    camera, xyz, scales, rot, op, shs, self.sh_degree,
+                    self.kernel_size, self.bg, active_mask=active,
+                    capacity=kcap, backend="pallas", interpret=interpret,
+                    with_stats=False, with_reg=False,
+                )
+                from ..transforms import ndc_to_pixel, project_points
+
+                ndc = project_points(points, camera.full_proj)
+                px = ndc_to_pixel(ndc[:, 0], camera.width)
+                py = ndc_to_pixel(ndc[:, 1], camera.height)
+                wv = camera.world_view
+                z = points @ wv[2, :3] + wv[2, 3]
+                inside = ((px >= 0) & (px < camera.width) & (py >= 0)
+                          & (py < camera.height) & (z > 1e-4))
+                xi = jnp.clip(px.astype(jnp.int32), 0, camera.width - 1)
+                yi = jnp.clip(py.astype(jnp.int32), 0, camera.height - 1)
+                color = out.image[:3, yi, xi].T  # [N, 3]
+                return color, inside, out.num_keys, out.overflow
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def alpha_color(self, points: np.ndarray):
+        """(alpha, color) per point: alpha as in alpha(); color follows the
+        reference's per-view selection (extract_mesh.py:26-29) — each point
+        keeps the color from the view where its alpha_integrated is lowest
+        (initialized to white). Deviation (documented): a view only donates
+        color where the point actually projects inside its frustum — the
+        reference can keep a stale buffer value there."""
+        n_real = len(points)
+        final_alpha = np.ones((n_real,), np.float32)
+        final_color = np.ones((n_real, 3), np.float32)
+        pts = jnp.asarray(points, jnp.float32)
+        for cam in self.cameras:
+            # per-view alpha via the sharded/unsharded integrate path
+            a_v = self.alpha(points, cameras=[cam])
+            for _ in range(8):
+                fn = self._color_fn(cam)
+                color, inside, num_keys, ov = fn(
+                    pts, self.model["xyz"], self.model["scales"],
+                    self.model["rot"], self.model["op"], self.model["active"],
+                    self.model["shs"], cam)
+                if not bool(ov):
+                    break
+                self.key_capacity = -(-int(int(num_keys) * 1.3) // 65536) * 65536
+                self._jit_cache.clear()
+            else:
+                raise RuntimeError(
+                    f"color eval overflow persists at {self.key_capacity}")
+            c_v = np.asarray(color)
+            upd = (a_v < final_alpha) & np.asarray(inside)
+            final_color = np.where(upd[:, None], c_v, final_color)
+            final_alpha = np.minimum(final_alpha, a_v)
+        return final_alpha, final_color
 
 
 def extract_level_set_mesh(
@@ -194,7 +306,8 @@ def extract_level_set_mesh(
     sh_degree: int, kernel_size: float, key_capacity: int = 1 << 20,
     n_binary_steps: int = 8, filter_faces: bool = True,
     near: float = 0.02, far: float = 1e6, interpret: bool = False,
-    quiet: bool = False,
+    quiet: bool = False, shard: int = 0, texture_mesh: bool = False,
+    bg=None,
 ) -> str:
     os.makedirs(out_dir, exist_ok=True)
     points, pscale = get_tetra_points(params, state, cam_meta, near, far)
@@ -204,8 +317,13 @@ def extract_level_set_mesh(
     if not quiet:
         print(f"tets: {len(cells)}")
 
+    mesh = None
+    if shard and shard > 1:
+        from ..parallel import sharding as shard_lib
+
+        mesh = shard_lib.make_mesh(shard)
     ev = FieldEvaluator(params, state, cameras, sh_degree, kernel_size,
-                        key_capacity, interpret)
+                        key_capacity, interpret, mesh=mesh, bg=bg)
     alpha = ev.alpha(points)
     mt = tetmesh.marching_tetrahedra(points, cells, alpha - 0.5, pscale)
     faces = mt["faces"]
@@ -230,6 +348,15 @@ def extract_level_set_mesh(
         right[~m] = mid[~m]
         verts = (left + right) / 2.0
 
+    vcolors = None
+    if texture_mesh:
+        # vertex colors from the view-selected integrated color
+        # (extract_mesh.py:106-111; forward.cu:1182-1217)
+        if not quiet:
+            print("evaluating vertex colors")
+        _, vcolors = ev.alpha_color(verts)
+        vcolors = (np.clip(vcolors, 0.0, 1.0) * 255).astype(np.uint8)
+
     if filter_faces and len(faces):
         keep_v = distance <= scale_sum
         keep_f = keep_v[faces].all(axis=1)
@@ -238,11 +365,12 @@ def extract_level_set_mesh(
         used, faces = np.unique(faces.reshape(-1), return_inverse=True)
         faces = faces.reshape(-1, 3)
         verts = verts[used]
+        if vcolors is not None:
+            vcolors = vcolors[used]
 
     out_path = os.path.join(out_dir, f"mesh_binary_search_{n_binary_steps - 1}.ply")
-    ply.write_ply(
-        out_path,
-        {"x": verts[:, 0], "y": verts[:, 1], "z": verts[:, 2]},
-        faces=faces,
-    )
+    props = {"x": verts[:, 0], "y": verts[:, 1], "z": verts[:, 2]}
+    if vcolors is not None:
+        props.update(red=vcolors[:, 0], green=vcolors[:, 1], blue=vcolors[:, 2])
+    ply.write_ply(out_path, props, faces=faces)
     return out_path

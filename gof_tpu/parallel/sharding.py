@@ -43,57 +43,10 @@ def shard_leading(tree, mesh: Mesh, axis: str = "dp"):
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
 
 
-def build_dp_train_step(loss_and_stats_fn: Callable, tx, mesh: Mesh, axis: str = "dp"):
-    """Camera-batch data-parallel train step.
-
-    Args:
-      loss_and_stats_fn(tp, gstate, carrier, gt, camera, step) -> (loss, aux)
-        the per-view loss (the same function the single-chip step uses).
-      tx: optax transform for tp.
-
-    Returns step(tp, opt_state, gstate, gts, cameras, step) where `gts` and
-    every camera leaf have a leading batch axis of size mesh.size; params and
-    optimizer state are replicated; gradients are psum-averaged over ICI.
-    """
-
-    def per_device(tp, gstate, gts, cameras, step):
-        # local shard has batch size 1
-        gt = gts[0]
-        camera = jax.tree.map(lambda x: x[0], cameras)
-
-        def lf(tp, carrier):
-            return loss_and_stats_fn(tp, gstate, carrier, gt, camera, step)
-
-        carrier0 = jnp.zeros((tp.gauss.xyz.shape[0], 3), jnp.float32)
-        (loss, aux), (grads, cgrad) = jax.value_and_grad(lf, argnums=(0, 1), has_aux=True)(
-            tp, carrier0
-        )
-        # all-reduce over the data axis: mean loss/grads, summed stats
-        loss = jax.lax.pmean(loss, axis)
-        grads = jax.lax.pmean(grads, axis)
-        cgrad = jax.lax.psum(cgrad, axis)
-        radii = jax.lax.pmax(aux["radii"], axis)
-        visibility = jax.lax.psum(aux["visibility"].astype(jnp.int32), axis) > 0
-        return loss, grads, cgrad, radii, visibility
-
-    @jax.jit
-    def step(tp, opt_state, gstate, gts, cameras, it):
-        fn = shard_map(
-            per_device,
-            mesh=mesh,
-            in_specs=(P(), P(), P(axis), P(axis), P()),
-            out_specs=(P(), P(), P(), P(), P()),
-            check_vma=False,
-        )
-        loss, grads, cgrad, radii, visibility = fn(tp, gstate, gts, cameras, it)
-        updates, opt_state = tx.update(grads, opt_state, tp)
-        tp = jax.tree.map(lambda p, u: p + u, tp, updates)
-        from ..model import gaussians as gm
-
-        gstate = gm.add_densification_stats(gstate, cgrad, radii, visibility)
-        return tp, opt_state, gstate, loss
-
-    return step
+# Camera-batch data parallelism lives in the production step builder:
+# train.build_train_step(dp=N, mesh=...) wraps the REAL per-view loss in a
+# shard_map (train._dp_grad_step) with pmean grads, psum stat deltas, and an
+# any-device overflow gate — reachable via `python -m gof_tpu.train --dp N`.
 
 
 def build_scene_parallel_step(single_scene_step: Callable, mesh: Mesh, axis: str = "dp"):

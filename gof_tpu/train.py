@@ -178,6 +178,70 @@ def masked_shs(params: gm.GaussianParams, active_degree: jnp.ndarray, max_degree
     return shs * keep[None, :, None]
 
 
+def _dp_grad_step(view_loss, mesh, tp: TrainParams, gstate: gm.GaussianState,
+                  gt_stack: jnp.ndarray, cam_stack):
+    """Camera-batch data-parallel value_and_grad under shard_map.
+
+    Each device evaluates `view_loss` on its own (gt, camera) slice; grads
+    and scalar metrics are pmean-reduced, densification-stat contributions
+    psum-summed per view (sum of per-view gradient norms, as if the views
+    were consecutive reference iterations, train.py:253-254 +
+    gaussian_model.py:709-714), and overflow telemetry is max-reduced so the
+    gate trips if ANY device overflowed. All outputs are replicated.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def per_device(tp, gstate, gt_d, cam_d):
+        gt = gt_d[0]
+        camera = jax.tree.map(lambda x: x[0], cam_d)
+        carrier0 = jnp.zeros((tp.gauss.xyz.shape[0], 3), jnp.float32)
+        (loss, aux), (grads, carrier_grad) = jax.value_and_grad(
+            lambda tp, c: view_loss(tp, c, gt, camera),
+            argnums=(0, 1), has_aux=True,
+        )(tp, carrier0)
+        loss = jax.lax.pmean(loss, axis)
+        grads = jax.tree.map(lambda x: jax.lax.pmean(x, axis), grads)
+        # per-view densification-stat contributions (summed over views)
+        vis = aux["visibility"] & gstate.active
+        gxy = jnp.where(vis, jnp.linalg.norm(carrier_grad[:, :2], axis=-1), 0.0)
+        gabs = jnp.where(vis, jnp.abs(carrier_grad[:, 2]), 0.0)
+        stat = jax.lax.psum(
+            jnp.stack([gxy, gabs, vis.astype(jnp.float32)]), axis)
+        radii = jax.lax.pmax(
+            jnp.where(vis, aux["radii"], 0.0).astype(jnp.float32), axis)
+        mean_keys = ("l1", "ssim", "distortion", "depth_normal", "psnr")
+        red = {k: jax.lax.pmean(aux[k], axis) for k in mean_keys}
+        for k in ("num_keys", "compact_demand"):
+            red[k] = jax.lax.pmax(aux[k], axis)
+        for k in ("key_overflow", "compact_overflow"):
+            red[k] = jax.lax.pmax(aux[k].astype(jnp.int32), axis) > 0
+        return loss, grads, stat, radii, red
+
+    loss, grads, stat, radii, red = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )(tp, gstate, gt_stack, cam_stack)
+
+    vis_any = stat[2] > 0
+    gstate_new = gstate._replace(
+        grad_accum=gstate.grad_accum + stat[0],
+        grad_abs_accum=gstate.grad_abs_accum + stat[1],
+        denom=gstate.denom + stat[2],
+        max_radii2d=jnp.where(
+            vis_any, jnp.maximum(gstate.max_radii2d, radii), gstate.max_radii2d),
+    )
+    # radii/visibility in the reduced aux feed logging only; the stat update
+    # above already consumed the per-view values
+    red["radii"] = radii
+    red["visibility"] = vis_any
+    return loss, red, grads, gstate_new
+
+
 def build_train_step(
     opt: config_lib.OptimizationParams,
     model_cfg: config_lib.ModelParams,
@@ -187,19 +251,36 @@ def build_train_step(
     with_stats: bool = True,
     with_reg: bool = True,
     n_inner: int = 1,
+    dp: int = 1,
+    mesh=None,
 ):
+    """Build the jitted train step.
+
+    dp > 1 enables camera-batch data parallelism over a `dp`-device
+    jax.sharding.Mesh (the TPU replacement for the reference's
+    one-process-per-GPU dispatch, scripts/run_mipnerf360.py:50-81): each
+    device renders a DIFFERENT training view of the same scene, gradients are
+    pmean-reduced over ICI, densification-stat contributions are psum-summed
+    per view, and the overflow gate trips if ANY device overflowed — the
+    exact single-chip semantics extended to batch size dp. `gt` then carries
+    a leading [dp] axis and every camera leaf is stacked to [dp, ...].
+    """
     sh_degree = model_cfg.sh_degree
     kernel_size = model_cfg.kernel_size
     use_app = model_cfg.use_decoupled_appearance
     backend = pipe.backend
     capacity = pipe.key_capacity
+    if dp > 1 and mesh is None:
+        from .parallel import sharding as shard_lib
+
+        mesh = shard_lib.make_mesh(dp)
 
     def step_body(tp: TrainParams, opt_state, gstate: gm.GaussianState,
                   gt: jnp.ndarray, step: jnp.ndarray,
                   camera: cameras_lib.Camera, bg: jnp.ndarray):
         active_degree = jnp.minimum(step // 1000, sh_degree)
 
-        def loss_fn(tp: TrainParams, carrier):
+        def view_loss(tp: TrainParams, carrier, gt, camera):
             g = tp.gauss
             scales_f = gm.filtered_scaling(g, gstate.filter_3d)
             opac_f = gm.filtered_opacity(g, gstate.filter_3d)
@@ -250,10 +331,17 @@ def build_train_step(
             }
             return loss, aux
 
-        carrier0 = jnp.zeros((tp.gauss.xyz.shape[0], 3), jnp.float32)
-        (loss, aux), (grads, carrier_grad) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(tp, carrier0)
+        if dp == 1:
+            carrier0 = jnp.zeros((tp.gauss.xyz.shape[0], 3), jnp.float32)
+            (loss, aux), (grads, carrier_grad) = jax.value_and_grad(
+                lambda tp, c: view_loss(tp, c, gt, camera),
+                argnums=(0, 1), has_aux=True,
+            )(tp, carrier0)
+            stat_new = gm.add_densification_stats(
+                gstate, carrier_grad, aux["radii"], aux["visibility"])
+        else:
+            loss, aux, grads, stat_new = _dp_grad_step(
+                view_loss, mesh, tp, gstate, gt, camera)
 
         if not use_app:
             # keep appearance leaves untouched (zero grads)
@@ -278,8 +366,7 @@ def build_train_step(
         updates, new_opt_state = tx.update(grads, opt_state, tp)
         tp = gate(tp, optax.apply_updates(tp, updates))
         opt_state = gate(opt_state, new_opt_state)
-        gstate = gate(gstate, gm.add_densification_stats(
-            gstate, carrier_grad, aux["radii"], aux["visibility"]))
+        gstate = gate(gstate, stat_new)
         metrics = {k: aux[k] for k in ("l1", "ssim", "distortion", "depth_normal", "num_keys", "key_overflow", "psnr", "compact_demand", "compact_overflow")}
         metrics["loss"] = loss
         # ONE packed vector for the host's periodic log read: each separate
@@ -386,9 +473,19 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
              pipe: config_lib.PipelineParams, test_iterations, save_iterations,
              checkpoint_iterations, start_checkpoint: str = "", quiet: bool = False,
              interpret: bool = False, profile_dir: str = "",
-             debug_image_interval: int = 0):
+             debug_image_interval: int = 0, dp: int = 1):
     random.seed(0)
     np.random.seed(0)
+
+    mesh = None
+    if dp > 1:
+        from .parallel import sharding as shard_lib
+
+        if jax.device_count() < dp:
+            raise RuntimeError(
+                f"--dp {dp} needs {dp} devices; only {jax.device_count()} "
+                f"visible on backend '{jax.default_backend()}'")
+        mesh = shard_lib.make_mesh(dp)
 
     sc = scene_lib.Scene(
         model_cfg.source_path, model_cfg.model_path, images=model_cfg.images,
@@ -456,7 +553,7 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
     def rebuild_step():
         return build_train_step(opt, model_cfg, pipe, tx, interpret=interpret,
                                 with_stats=with_stats, with_reg=with_reg,
-                                n_inner=n_inner)
+                                n_inner=n_inner, dp=dp, mesh=mesh)
 
     train_step = rebuild_step()
     densify_fn = jax.jit(
@@ -545,15 +642,25 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
         if step_dev is None:  # (re)seed the device-resident step counter
             step_dev = jnp.asarray(win_start, jnp.int32)
         if n_inner == 1:
-            camera, gt = get_cam(sc.train_cameras[next_id()])
+            if dp == 1:
+                camera, gt = get_cam(sc.train_cameras[next_id()])
+            else:
+                # one optimizer step consumes dp distinct views
+                pairs = [get_cam(sc.train_cameras[next_id()]) for _ in range(dp)]
+                camera = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                      *[c for c, _ in pairs])
+                gt = jnp.stack([g for _, g in pairs])
             tp, opt_state, gstate, metrics = train_step(
                 tp, opt_state, gstate, gt, step_dev, camera, bg
             )
         else:
-            id_list = [next_id() for _ in range(n_inner)]
+            id_list = [next_id() for _ in range(n_inner * dp)]
+            ids = np.asarray(id_list, np.int32).reshape(n_inner, dp)
+            if dp == 1:
+                ids = ids[:, 0]  # scalar per scan step, as before
             tp, opt_state, gstate, metrics = train_step(
                 tp, opt_state, gstate, gt_stack,
-                jnp.asarray(id_list, jnp.int32), step_dev, cam_stack, bg
+                jnp.asarray(ids), step_dev, cam_stack, bg
             )
             # last window camera, for the optional debug-image dump below
             # (views from the stacks — no second device copy via cam_cache)
@@ -829,6 +936,10 @@ def main(argv=None):
     parser.add_argument("--profile_dir", type=str, default="", help="write a jax profiler trace here")
     parser.add_argument("--debug_image_interval", type=int, default=0,
                         help="save a gt/render/normal/depth/alpha/distortion grid every N iters")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="camera-batch data parallelism over a dp-device "
+                             "mesh (each optimizer step consumes dp views; "
+                             "grads psum over ICI)")
     ns = parser.parse_args(argv)
     if ns.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -840,7 +951,7 @@ def main(argv=None):
         model_cfg, opt, pipe, set(ns.test_iterations), set(save_iters),
         set(ns.checkpoint_iterations), ns.start_checkpoint, ns.quiet,
         interpret=ns.cpu, profile_dir=ns.profile_dir,
-        debug_image_interval=ns.debug_image_interval,
+        debug_image_interval=ns.debug_image_interval, dp=ns.dp,
     )
     print("Training complete.")
 

@@ -189,3 +189,59 @@ class TestExtractE2E:
         ev = extract.FieldEvaluator(params, state, cams, 0, 0.1, 2048, interpret=True)
         alpha_v = ev.alpha(v)
         assert np.quantile(np.abs(alpha_v - 0.5), 0.9) < 0.15
+
+    @pytest.mark.slow
+    def test_texture_mesh_vertex_colors(self, rng, tmp_path):
+        """--texture_mesh: a pure-red mixture must yield red-dominant vertex
+        colors sampled from the rendered views (forward.cu:1182-1217,
+        extract_mesh.py:106-111)."""
+        n = 6
+        means = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * 0.3)
+        scales = jnp.asarray(np.full((n, 3), 0.3, np.float32))
+        q = rng.normal(size=(n, 4))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        params = gm.GaussianParams(
+            xyz=means,
+            features_dc=rgb_to_sh_dc(
+                jnp.asarray(np.tile([0.9, 0.05, 0.05], (n, 1)), jnp.float32)
+            )[:, None, :],
+            features_rest=jnp.zeros((n, 0, 3)),
+            scaling=jnp.log(scales),
+            rotation=jnp.asarray(q, jnp.float32),
+            opacity=gm.inverse_sigmoid(jnp.full((n,), 0.95)),
+        )
+        z = jnp.zeros((n,))
+        state = gm.GaussianState(
+            active=jnp.ones((n,), bool), filter_3d=z + 1e-4,
+            max_radii2d=z, grad_accum=z, grad_abs_accum=z, denom=z,
+        )
+        cams = [
+            cameras.look_at_camera(
+                eye=(2.5 * np.sin(t), 0.6, 2.5 * np.cos(t)), target=(0, 0, 0),
+                width=48, height=48, uid=i,
+            )
+            for i, t in enumerate(np.linspace(0, 2 * np.pi, 4, endpoint=False))
+        ]
+        cam_meta = (
+            jnp.stack([c.world_view for c in cams]),
+            jnp.stack([c.focal_x for c in cams]),
+            jnp.stack([c.focal_y for c in cams]),
+            jnp.full((len(cams),), 48.0),
+            jnp.full((len(cams),), 48.0),
+        )
+        out = extract.extract_level_set_mesh(
+            params, state, cams, cam_meta, str(tmp_path / "fusion"),
+            sh_degree=0, kernel_size=0.1, key_capacity=2048,
+            n_binary_steps=3, interpret=True, quiet=True, texture_mesh=True,
+        )
+        from gof_tpu.utils import ply
+
+        verts, faces = ply.read_ply(out)
+        assert {"red", "green", "blue"} <= set(verts)
+        r = verts["red"].astype(np.float32)
+        g = verts["green"].astype(np.float32)
+        b = verts["blue"].astype(np.float32)
+        assert len(r) > 20
+        # red strongly dominates on the surface (bg is black, blobs red)
+        frac_red = np.mean((r > g + 40) & (r > b + 40))
+        assert frac_red > 0.7, (frac_red, r.mean(), g.mean(), b.mean())

@@ -1,10 +1,19 @@
-"""Sharding tests on the 8-virtual-device CPU mesh (SURVEY.md §2.3)."""
+"""Sharding tests on the 8-virtual-device CPU mesh (SURVEY.md §2.3).
+
+Every test drives PRODUCTION code paths: the real train step
+(train.build_train_step with dp>1), the real mesh-extraction field
+evaluator (mesh.extract.FieldEvaluator with a mesh), and the real scene
+stepper — not toy lambdas.
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from gof_tpu import cameras, config as config_lib, train as train_lib
+from gof_tpu.model import appearance as app_lib
+from gof_tpu.model import gaussians as gm
 from gof_tpu.parallel import sharding
 
 
@@ -15,37 +24,185 @@ def mesh8():
     return sharding.make_mesh(8)
 
 
-class TestSharding:
+@pytest.fixture(scope="module")
+def mesh4():
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    return sharding.make_mesh(4)
+
+
+def _tiny_setup(n=256, size=48, capacity=1 << 12, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(n // 2, 3)).astype(np.float32) * 0.5
+    cols = rng.random((n // 2, 3)).astype(np.float32)
+    gauss, gstate = gm.init_from_points(pts, cols, sh_degree=1, capacity=n)
+    app_net, app_emb = app_lib.init_appearance(jax.random.PRNGKey(0))
+    tp = train_lib.TrainParams(gauss=gauss, app_net=app_net, app_emb=app_emb)
+    opt_cfg = config_lib.OptimizationParams()
+    model_cfg = config_lib.ModelParams(sh_degree=1, kernel_size=0.1)
+    pipe = config_lib.PipelineParams(backend="pallas", key_capacity=capacity)
+    tx = train_lib.make_optimizer(opt_cfg, 1.0)
+    opt_state = jax.tree.map(lambda x: jnp.array(np.asarray(x)), tx.init(tp))
+    cams = [
+        cameras.look_at_camera(
+            eye=(3.0 * np.sin(t), 0.8, 3.0 * np.cos(t)), target=(0, 0, 0),
+            width=size, height=size, uid=i,
+        )
+        for i, t in enumerate(np.linspace(0, 2 * np.pi, 8, endpoint=False))
+    ]
+    gts = jnp.asarray(rng.random((8, 3, size, size)), jnp.float32)
+    return tp, opt_state, gstate, opt_cfg, model_cfg, pipe, tx, cams, gts
+
+
+class TestDataParallel:
     @pytest.mark.slow
     def test_dp_train_step_runs(self, mesh8):
-        """One camera-batch DP step over 8 devices (the __graft_entry__
-        dryrun path): finite loss, params move, grads identical across
-        devices (replicated after psum)."""
+        """One PRODUCTION camera-batch DP step over 8 devices (the
+        __graft_entry__ dryrun path): finite loss, params move, no
+        overflow."""
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
 
-    def test_scene_parallel_independent(self, mesh8):
-        """Share-nothing scene parallelism: per-device results equal running
-        each scene alone."""
+    def test_dp_identical_views_match_single_chip(self, mesh4):
+        """DP over 4 copies of the SAME view must reproduce the single-chip
+        update (pmean of identical grads) and 4x its stat deltas."""
+        tp, opt_state, gstate, opt_cfg, model_cfg, pipe, tx, cams, gts = _tiny_setup()
+        bg = jnp.zeros(3)
+        step = jnp.asarray(3, jnp.int32)
 
-        def step(x, y):
-            return x * 2 + y.sum()
+        single = train_lib.build_train_step(
+            opt_cfg, model_cfg, pipe, tx, interpret=True)
+        tp1 = jax.tree.map(jnp.copy, tp)
+        tp1, opt1, gs1, m1 = single(tp1, opt_state, gstate, gts[0], step,
+                                    cams[0], bg)
 
-        stacked = (jnp.arange(8.0).reshape(8, 1), jnp.ones((8, 4)))
-        par = sharding.build_scene_parallel_step(step, mesh8)
-        out = par(*stacked)
-        want = np.stack([np.asarray(step(stacked[0][i], stacked[1][i])) for i in range(8)])
-        np.testing.assert_allclose(np.asarray(out).reshape(8, -1), want.reshape(8, -1))
+        dp_step = train_lib.build_train_step(
+            opt_cfg, model_cfg, pipe, tx, interpret=True, dp=4, mesh=mesh4)
+        cam_b = jax.tree.map(lambda *xs: jnp.stack(xs), *([cams[0]] * 4))
+        gt_b = jnp.stack([gts[0]] * 4)
+        tp4 = jax.tree.map(jnp.copy, tp)
+        tp4, opt4, gs4, m4 = dp_step(tp4, opt_state, gstate, gt_b, step,
+                                     cam_b, bg)
 
-    def test_sharded_field_eval(self, mesh8):
-        """Point-sharded evaluation matches the unsharded function."""
+        np.testing.assert_allclose(float(m4["loss"]), float(m1["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(tp4.gauss.xyz), np.asarray(tp1.gauss.xyz),
+            rtol=1e-4, atol=1e-7)
+        # stats: 4 views' contributions summed (as if 4 reference iterations)
+        np.testing.assert_allclose(
+            np.asarray(gs4.denom), 4.0 * np.asarray(gs1.denom), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(gs4.grad_accum), 4.0 * np.asarray(gs1.grad_accum),
+            rtol=1e-4, atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(gs4.max_radii2d), np.asarray(gs1.max_radii2d),
+            rtol=1e-5)
 
-        def eval_fn(points, weights):
-            return jnp.sum(points * weights[None, :], axis=-1)
+    def test_dp_distinct_views_finite_and_moves(self, mesh4):
+        """DP over 4 DIFFERENT views: finite loss, params move, metrics
+        reduced sanely (num_keys is the max over devices)."""
+        tp, opt_state, gstate, opt_cfg, model_cfg, pipe, tx, cams, gts = _tiny_setup()
+        bg = jnp.zeros(3)
+        dp_step = train_lib.build_train_step(
+            opt_cfg, model_cfg, pipe, tx, interpret=True, dp=4, mesh=mesh4)
+        cam_b = jax.tree.map(lambda *xs: jnp.stack(xs), *cams[:4])
+        gt_b = gts[:4]
+        xyz0 = np.asarray(tp.gauss.xyz)
+        tp, opt_state, gstate, m = dp_step(
+            tp, opt_state, gstate, gt_b, jnp.asarray(1, jnp.int32), cam_b, bg)
+        assert np.isfinite(float(m["loss"]))
+        assert not bool(m["key_overflow"])
+        assert float(np.abs(np.asarray(tp.gauss.xyz) - xyz0).max()) > 0
+        assert int(m["num_keys"]) > 0
 
-        pts = jnp.asarray(np.random.default_rng(0).random((64, 3)), jnp.float32)
-        w = jnp.asarray([1.0, 2.0, 3.0])
-        run = sharding.sharded_min_transmittance(eval_fn, mesh8)
-        got = run(pts, w)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(eval_fn(pts, w)), rtol=1e-6)
+    def test_dp_overflow_gate_skips_update(self, mesh4):
+        """If ANY device overflows its key capacity the whole update is a
+        no-op (params, optimizer state, and stats unchanged)."""
+        tp, opt_state, gstate, opt_cfg, model_cfg, pipe, tx, cams, gts = _tiny_setup()
+        pipe.key_capacity = 128  # guaranteed overflow
+        bg = jnp.zeros(3)
+        dp_step = train_lib.build_train_step(
+            opt_cfg, model_cfg, pipe, tx, interpret=True, dp=4, mesh=mesh4)
+        cam_b = jax.tree.map(lambda *xs: jnp.stack(xs), *cams[:4])
+        xyz0 = np.asarray(tp.gauss.xyz)
+        tp, opt_state, gstate, m = dp_step(
+            tp, opt_state, gstate, gts[:4], jnp.asarray(1, jnp.int32), cam_b, bg)
+        assert bool(m["key_overflow"])
+        np.testing.assert_array_equal(np.asarray(tp.gauss.xyz), xyz0)
+        assert float(np.asarray(gstate.denom).max()) == 0.0
+
+
+class TestSceneParallel:
+    def test_scene_parallel_real_step(self, mesh8):
+        """Share-nothing multi-scene training with the REAL single-chip train
+        step: 8 stacked scenes advance independently; device 0's result
+        equals running its scene alone."""
+        bg = jnp.zeros(3)
+        step = jnp.asarray(1, jnp.int32)
+        setups = [_tiny_setup(seed=s) for s in range(2)]
+        # one shared step fn (same static config for every scene)
+        tp0, opt0, gs0, opt_cfg, model_cfg, pipe, tx, cams, gts = setups[0]
+        single = train_lib.build_train_step(
+            opt_cfg, model_cfg, pipe, tx, interpret=True)
+
+        def scene_step(tp, opt_state, gstate, gt, camera):
+            tp, opt_state, gstate, m = single(tp, opt_state, gstate, gt, step,
+                                              camera, bg)
+            return tp, opt_state, gstate, m["loss"]
+
+        # stack 8 scenes: seeds 0,1 alternating
+        tps, opts, gss, gtss, camss = [], [], [], [], []
+        for i in range(8):
+            t, o, g, *_cfg, cams_i, gts_i = setups[i % 2]
+            tps.append(jax.tree.map(jnp.copy, t))
+            opts.append(jax.tree.map(jnp.copy, o))
+            gss.append(g)
+            gtss.append(gts_i[i % 8])
+            camss.append(cams_i[i % 8])
+        stack = lambda xs: jax.tree.map(lambda *ls: jnp.stack(ls), *xs)
+        par = sharding.build_scene_parallel_step(scene_step, mesh8)
+        tp_s, opt_s, gs_s, losses = par(
+            stack(tps), stack(opts), stack(gss), jnp.stack(gtss), stack(camss))
+
+        assert np.isfinite(np.asarray(losses)).all()
+        # scene 0 alone must match its slice of the parallel run
+        t0 = jax.tree.map(jnp.copy, setups[0][0])
+        t0, _, _, loss0 = scene_step(t0, setups[0][1], setups[0][2],
+                                     gtss[0], camss[0])
+        np.testing.assert_allclose(float(losses[0]), float(loss0), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(tp_s.gauss.xyz[0]), np.asarray(t0.gauss.xyz),
+            rtol=1e-5, atol=1e-7)
+
+
+class TestShardedFieldEval:
+    def test_field_eval_matches_unsharded(self, mesh8):
+        """mesh.extract.FieldEvaluator with a mesh: point-sharded opacity
+        field equals the unsharded evaluation (production extract path)."""
+        from gof_tpu.mesh import extract as extract_lib
+
+        rng = np.random.default_rng(0)
+        n = 128
+        pts3d = rng.normal(size=(n, 3)).astype(np.float32) * 0.4
+        cols = rng.random((n, 3)).astype(np.float32)
+        gauss, gstate = gm.init_from_points(pts3d, cols, sh_degree=0,
+                                            capacity=n)
+        cams = [
+            cameras.look_at_camera(
+                eye=(2.5 * np.sin(t), 0.5, 2.5 * np.cos(t)), target=(0, 0, 0),
+                width=48, height=48, uid=i,
+            )
+            for i, t in enumerate(np.linspace(0, np.pi, 2))
+        ]
+        # query points NOT a multiple of 8: exercises the far-point padding
+        q = rng.normal(size=(101, 3)).astype(np.float32) * 0.5
+
+        ev0 = extract_lib.FieldEvaluator(
+            gauss, gstate, cams, 0, 0.1, 1 << 12, interpret=True)
+        a0 = ev0.alpha(q)
+        ev8 = extract_lib.FieldEvaluator(
+            gauss, gstate, cams, 0, 0.1, 1 << 12, interpret=True, mesh=mesh8)
+        a8 = ev8.alpha(q)
+        assert a8.shape == a0.shape == (101,)
+        np.testing.assert_allclose(a8, a0, rtol=1e-5, atol=1e-6)
