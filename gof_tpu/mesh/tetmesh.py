@@ -59,6 +59,7 @@ def marching_tetrahedra(vertices: np.ndarray, tets: np.ndarray, sdf: np.ndarray,
       edge_points: [E, 2, 3] crossing-edge endpoint coordinates
       edge_sdf:    [E, 2]
       edge_scale:  [E, 2] (zeros if scales is None)
+      edge_verts:  [E, 2] int endpoint indices into `vertices`
       faces:       [F, 3] int indices into the E edges
     """
     sdf = np.asarray(sdf)
@@ -77,6 +78,7 @@ def marching_tetrahedra(vertices: np.ndarray, tets: np.ndarray, sdf: np.ndarray,
             "edge_points": np.zeros((0, 2, 3), np.float32),
             "edge_sdf": np.zeros((0, 2), np.float32),
             "edge_scale": np.zeros((0, 2), np.float32),
+            "edge_verts": np.zeros((0, 2), np.int64),
             "faces": np.zeros((0, 3), np.int64),
         }
 
@@ -111,5 +113,6 @@ def marching_tetrahedra(vertices: np.ndarray, tets: np.ndarray, sdf: np.ndarray,
         "edge_points": edge_points.astype(np.float32),
         "edge_sdf": edge_sdf.astype(np.float32),
         "edge_scale": edge_scale.astype(np.float32),
+        "edge_verts": pairs.astype(np.int64),
         "faces": faces,
     }
