@@ -196,6 +196,71 @@ def surface_points(n, seed=1):
     return np.concatenate(pts), np.concatenate(cols)
 
 
+def gt_mesh(subdiv: int = 4, plane_half: float = 3.2):
+    """Analytic ground-truth mesh of the scene geometry (spheres as
+    subdivided icospheres, boxes as 12 triangles, ground plane as a patch):
+    the exact reference surface for chamfer/F-score validation of extracted
+    meshes (eval/dtu.py, eval/tnt.py)."""
+    # icosahedron
+    t = (1 + 5**0.5) / 2
+    v = np.array([[-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+                  [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+                  [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], float)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    f = np.array([[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+                  [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+                  [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+                  [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]])
+    for _ in range(subdiv):
+        cache = {}
+        nv = list(v)
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in cache:
+                m = (v[a] + v[b]) / 2
+                m /= np.linalg.norm(m)
+                cache[key] = len(nv)
+                nv.append(m)
+            return cache[key]
+
+        nf = []
+        for a, b, c in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            nf += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        v = np.array(nv)
+        f = np.array(nf)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+
+    verts, faces = [], []
+
+    def add(vv, ff):
+        faces.append(np.asarray(ff) + sum(len(x) for x in verts))
+        verts.append(np.asarray(vv, np.float64))
+
+    for c, r, _m in SPHERES:
+        add(v * r + c, f)
+    box_f = np.array([[0, 1, 2], [1, 3, 2], [4, 6, 5], [5, 6, 7],
+                      [0, 4, 1], [1, 4, 5], [2, 3, 6], [3, 7, 6],
+                      [0, 2, 4], [2, 6, 4], [1, 5, 3], [3, 5, 7]])
+    for lo, hi, _m in BOXES:
+        bv = np.array([[lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]],
+                       [lo[0], hi[1], lo[2]], [hi[0], hi[1], lo[2]],
+                       [lo[0], lo[1], hi[2]], [hi[0], lo[1], hi[2]],
+                       [lo[0], hi[1], hi[2]], [hi[0], hi[1], hi[2]]])
+        add(bv, box_f)
+    # ground plane patch (two triangles per grid cell for even sampling)
+    g = np.linspace(-plane_half, plane_half, 33)
+    gx, gz = np.meshgrid(g, g, indexing="ij")
+    pv = np.stack([gx, np.full_like(gx, PLANE_Y), gz], -1).reshape(-1, 3)
+    n = 33
+    i0 = (np.arange(n - 1)[:, None] * n + np.arange(n - 1)[None, :]).reshape(-1)
+    pf = np.stack([np.stack([i0, i0 + 1, i0 + n], -1),
+                   np.stack([i0 + 1, i0 + n + 1, i0 + n], -1)], 1).reshape(-1, 3)
+    add(pv, pf)
+    return np.concatenate(verts), np.concatenate(faces).astype(np.int64)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/gof_proc_scene")
@@ -258,8 +323,13 @@ def main():
         "x": p[:, 0], "y": p[:, 1], "z": p[:, 2],
         "red": c8[:, 0], "green": c8[:, 1], "blue": c8[:, 2],
     })
+    gv, gf = gt_mesh()
+    ply.write_ply(os.path.join(args.out, "gt_mesh.ply"), {
+        "x": gv[:, 0].astype(np.float32), "y": gv[:, 1].astype(np.float32),
+        "z": gv[:, 2].astype(np.float32)}, faces=gf)
     print(f"wrote {args.out}: {args.views} train / {args.test_views} test "
-          f"views at {args.width}x{args.height}, {len(p)} init points")
+          f"views at {args.width}x{args.height}, {len(p)} init points, "
+          f"gt_mesh.ply ({len(gv)} verts)")
 
 
 if __name__ == "__main__":

@@ -165,3 +165,100 @@ class TestDtuProtocol:
         verts = np.array([[0, 0, 5.0], [0.5, 0.2, 4.0], [100.0, 0, 5.0]])
         keep_v, _ = dtu.cull_mesh_by_masks(verts, None, [cam], [None])
         assert keep_v.all()
+
+
+class TestAnalyticGTChain:
+    """End-to-end proof of the geometry-eval stack (VERDICT r2 item 4): an
+    extracted level-set mesh from an ANALYTIC gaussian shell is scored
+    against the exact GT sphere by both the TNT F-score and the DTU chamfer
+    cores, with a negative control proving sensitivity."""
+
+    @staticmethod
+    def _extracted_sphere_mesh(tmp_path, rng):
+        import jax.numpy as jnp
+
+        from gof_tpu import cameras
+        from gof_tpu.mesh import extract
+        from gof_tpu.model import gaussians as gm
+        from gof_tpu.sh import rgb_to_sh_dc
+        from gof_tpu.utils import ply
+
+        r = 0.8
+        n = 220
+        # Fibonacci sphere: even surface coverage
+        i = np.arange(n) + 0.5
+        phi = np.arccos(1 - 2 * i / n)
+        th = np.pi * (1 + 5**0.5) * i
+        centers = np.stack([np.sin(phi) * np.cos(th), np.sin(phi) * np.sin(th),
+                            np.cos(phi)], -1).astype(np.float32) * r
+        params = gm.GaussianParams(
+            xyz=jnp.asarray(centers),
+            features_dc=rgb_to_sh_dc(jnp.full((n, 3), 0.6))[:, None, :],
+            features_rest=jnp.zeros((n, 0, 3)),
+            scaling=jnp.log(jnp.full((n, 3), 0.12)),
+            rotation=jnp.asarray(np.tile([1.0, 0, 0, 0], (n, 1)), jnp.float32),
+            opacity=gm.inverse_sigmoid(jnp.full((n,), 0.95)),
+        )
+        z = jnp.zeros((n,))
+        state = gm.GaussianState(
+            active=jnp.ones((n,), bool), filter_3d=z + 1e-4,
+            max_radii2d=z, grad_accum=z, grad_abs_accum=z, denom=z,
+        )
+        cams = [
+            cameras.look_at_camera(
+                eye=(3.2 * np.sin(t), 1.2 * np.sin(2 * t), 3.2 * np.cos(t)),
+                target=(0, 0, 0), width=64, height=64, uid=k,
+            )
+            for k, t in enumerate(np.linspace(0, 2 * np.pi, 8, endpoint=False))
+        ]
+        cam_meta = (
+            jnp.stack([c.world_view for c in cams]),
+            jnp.stack([c.focal_x for c in cams]),
+            jnp.stack([c.focal_y for c in cams]),
+            jnp.full((len(cams),), 64.0),
+            jnp.full((len(cams),), 64.0),
+        )
+        out = extract.extract_level_set_mesh(
+            params, state, cams, cam_meta, str(tmp_path / "fusion"),
+            sh_degree=0, kernel_size=0.1, key_capacity=4096,
+            n_binary_steps=5, interpret=True, quiet=True)
+        verts_d, faces = ply.read_ply(out)
+        verts = np.stack([verts_d["x"], verts_d["y"], verts_d["z"]], -1)
+        return verts.astype(np.float64), faces, r
+
+    def test_full_chain_fscore_and_chamfer(self, rng, tmp_path):
+        verts, faces, r = self._extracted_sphere_mesh(tmp_path, rng)
+        assert len(verts) > 100
+
+        # The 0.5 opacity level set of a shell of sigma=0.12 gaussians is
+        # the shell's OUTER envelope, ~1.5 sigma outside the generating
+        # sphere — assert that known bias explicitly, then score against
+        # the exact GT sphere with a tau that absorbs it.
+        sigma = 0.12
+        rad = np.linalg.norm(verts, axis=1)
+        assert r < np.median(rad) < r + 2 * sigma, np.median(rad)
+        assert np.std(rad) < 0.05  # a clean sphere, not noise
+
+        gt = sphere_points(20000, r, rng)
+        pred_pts = geo.sample_mesh_surface(verts, faces, density=0.02,
+                                           max_points=100_000)
+        tau = 0.25
+        res = geo.precision_recall_fscore(pred_pts, gt, tau)
+        assert res["fscore"] > 0.95, res
+
+        # DTU-style chamfer through dtu_chamfer (synthetic all-observed
+        # ObsMask + no plane): bounded by the envelope bias
+        from gof_tpu.eval.dtu import dtu_chamfer
+
+        bb = np.array([[-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]])
+        res_mask = 0.05
+        dims = np.ceil((bb[1] - bb[0]) / res_mask).astype(int) + 1
+        obs = np.ones(tuple(dims), np.uint8)
+        ch = dtu_chamfer(pred_pts, gt, obs, bb, res_mask, plane=None)
+        assert ch["overall"] < 2 * sigma, ch
+
+        # negative control: a shifted mesh must score clearly worse
+        res_bad = geo.precision_recall_fscore(pred_pts + 0.6, gt, tau)
+        assert res_bad["fscore"] < res["fscore"] * 0.5
+        ch_bad = dtu_chamfer(pred_pts + 0.6, gt, obs, bb, res_mask, plane=None)
+        assert ch_bad["overall"] > ch["overall"] * 2
