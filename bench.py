@@ -138,8 +138,10 @@ def main():
     # observed demand, 64k-aligned) settles at for this workload.
     ap.add_argument("--capacity", type=int, default=1_638_400)
     ap.add_argument("--reps", type=int, default=20)
-    ap.add_argument("--late", action="store_true",
-                    help="also sweep a late-training scale (1M gaussians)")
+    ap.add_argument("--late", action="store_true", default=True,
+                    help="also sweep the late-training scale (1M gaussians); "
+                         "on by default")
+    ap.add_argument("--no-late", dest="late", action="store_false")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -152,22 +154,24 @@ def main():
         args.gaussians, args.width, args.height, args.capacity, args.reps,
         "bicycle-like", verbose=True)
 
+    rec = {
+        "metric": "full_train_step_iters_per_sec",
+        "value": round(iters_per_sec, 3),
+        "unit": "iters/s",
+        "vs_baseline": round(iters_per_sec / 11.1, 3),
+    }
     if args.late:
+        # late-training design point: 1M gaussians / ~3.2M keys; capacity is
+        # what the loop's right-sizing (1.3x demand, 64k-aligned) settles at
         late_ips, late_nk = bench_config(
-            1_000_000, args.width, args.height, 6_553_600,
+            1_000_000, args.width, args.height, 4_194_304,
             max(args.reps // 2, 5), "late-training", sigma=-4.3, verbose=True)
         print(f"# late-training: {late_ips:.2f} it/s at {late_nk} keys")
+        rec["late_iters_per_sec"] = round(late_ips, 3)
+        rec["late_keys"] = int(late_nk)
+        rec["late_vs_baseline"] = round(late_ips / 11.1, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "full_train_step_iters_per_sec",
-                "value": round(iters_per_sec, 3),
-                "unit": "iters/s",
-                "vs_baseline": round(iters_per_sec / 11.1, 3),
-            }
-        )
-    )
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
