@@ -155,7 +155,8 @@ class FieldEvaluator:
                 )
                 rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid,
                                                ntx, nty, radius_xy=pre.radius_xy)
-                b = binning.bin_gaussians(pre.depth, rects, ntx, nty, kcap)
+                b = binning.bin_gaussians(pre.depth, rects, ntx, nty, kcap,
+                                          interpret=interpret)
                 op_eff = op * jnp.where(pre.valid, pre.coef, 0.0)
                 payload = rp.build_payload16(
                     pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, b)
@@ -163,7 +164,7 @@ class FieldEvaluator:
                 T = integrate.integrate_transmittance_pallas(
                     payload, b, pb, points.shape[0], interpret=interpret
                 )
-                return T, b.num_keys, b.overflow
+                return T, b.num_slots, b.overflow
 
             if self.mesh is None:
                 fn = jax.jit(body)

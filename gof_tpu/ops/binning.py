@@ -86,8 +86,11 @@ class Binning(NamedTuple):
     slot_to_gaussian: jnp.ndarray  # [CAP] int32, == P for padding
     bounds: jnp.ndarray  # [NTILES+1] int32: tile t owns slots [b[t], b[t+1])
     dup_offsets: jnp.ndarray  # [P+1] int32 exclusive dup offsets (original order)
-    num_keys: jnp.ndarray  # scalar int32: real duplicated keys (pre-drop)
+    num_keys: jnp.ndarray  # scalar int32: REAL duplicated keys (pre-drop)
     overflow: jnp.ndarray  # scalar bool: capacity exceeded (surplus dropped)
+    num_slots: jnp.ndarray  # scalar int32: slot demand incl. the one DEAD
+    # slot each culled gaussian owns (strictly-ascending offsets for the
+    # expand kernel) — what capacity sizing must satisfy
 
 
 def _expand(values: jnp.ndarray, starts: jnp.ndarray, in_cap: jnp.ndarray, capacity: int) -> jnp.ndarray:
@@ -133,6 +136,8 @@ def bin_gaussians(
     ntx: int,
     nty: int,
     capacity: int,
+    use_expand_kernel: bool | None = None,
+    interpret: bool = False,
 ) -> Binning:
     """Build the (tile, depth)-ordered duplicated Gaussian list.
 
@@ -140,16 +145,32 @@ def bin_gaussians(
       depth: [P] view-space depths (> 0 for valid Gaussians; invalid
         Gaussians have rects.w/h == 0 and may hold anything).
       capacity: static maximum number of duplicated keys (multiple of 128).
+      use_expand_kernel: expand keys with the sliding-window Pallas kernel
+        (ops/expand.py) instead of the XLA scatter+cumsum+gather chain
+        (those are scalar-pipeline ops costing 10s of ms at millions of
+        keys; the kernel rides the MXU). Default: kernel on an accelerator
+        or when interpreting; XLA chain on plain CPU.
     """
+    if use_expand_kernel is None:
+        use_expand_kernel = interpret or jax.default_backend() != "cpu"
     # Kernels DMA whole CHUNK_SIZE-aligned windows; round the slot array up.
     capacity = -(-capacity // CHUNK_SIZE) * CHUNK_SIZE
     P = depth.shape[0]
     ntiles = ntx * nty
-    counts = (rects.w * rects.h).astype(jnp.int32)  # [P]
+    counts_real = (rects.w * rects.h).astype(jnp.int32)  # [P]
+    # Every gaussian emits >= 1 key (invalid ones a DEAD key that sorts with
+    # the padding sentinel and is never touched by any kernel): strictly
+    # ascending duplication offsets bound the expand kernel's window span to
+    # chunk+1 gaussians regardless of how many culled gaussians interleave.
+    # Cost: <= P extra capacity, only on sort/expand (dead keys live past
+    # every tile segment).
+    counts = jnp.maximum(counts_real, 1)
+    dead = counts_real == 0
 
     # 1. duplication offsets in original Gaussian order
     off = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])  # [P+1]
-    num_keys = off[-1]
+    num_keys = off[-1]  # padded slot demand; real count reported separately
+    num_real = num_keys - jnp.sum(dead.astype(jnp.int32))
     # Detect int32 wrap: with unbounded rects many grid-covering gaussians can
     # push the true total past 2^31 (exactly the exploding-scale states the
     # overflow gate must catch); a wrapped cumsum would read negative and make
@@ -159,50 +180,60 @@ def bin_gaussians(
     wrapped = jnp.min(off) < 0
     overflow = (num_keys > capacity) | wrapped
     num_keys = jnp.where(wrapped, jnp.int32(2**31 - 1), num_keys)
-    starts = jnp.clip(off[:-1], 0, capacity - 1).astype(jnp.int32)
-    in_cap = off[:-1] < capacity
 
-    # 2. expand per-Gaussian values to dup slots. Wide scatters fall off a
-    #    ~10x XLA performance cliff, so ONLY the gaussian id is expanded by a
-    #    1-column delta-scatter + cumsum; everything else is a narrow-row
-    #    table gather by that id (narrow gathers stay on the fast path).
-    k = jnp.arange(capacity, dtype=jnp.int32)
-    dup_valid = k < num_keys
-    gid_vals = jnp.arange(P, dtype=jnp.int32)
-    gid_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), gid_vals[:-1]])
-    gid_delta = jnp.where(in_cap, gid_vals - gid_prev, 0)
-    d = jnp.zeros((capacity,), jnp.int32).at[starts].add(
-        gid_delta, mode="drop", indices_are_sorted=True)
-    gid = jnp.cumsum(d)  # [CAP]
-
-    # per-slot attributes via ONE [P, 4] int32 gather: duplication offset,
-    # packed rect (x0 | y0 | w in 10-bit fields), depth sort bits (view
-    # depths are > 0, so the f32 bit pattern is order-preserving as int32 —
-    # the reference packs the same float bits into its radix key,
-    # rasterizer_impl.cu:102)
     packed_rect = (
         rects.x0.astype(jnp.int32)
         | (rects.y0.astype(jnp.int32) << 10)
         | (jnp.minimum(rects.w, 1023).astype(jnp.int32) << 20)
     )
-    tbl = jnp.stack(
-        [
-            off[:-1],
-            packed_rect,
-            jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32),
-            jnp.zeros((P,), jnp.int32),
-        ],
-        axis=1,
-    )  # [P, 4]
-    attrs = tbl[gid]  # [CAP, 4]
-    off_exp = attrs[:, 0]
-    x0e = attrs[:, 1] & 1023
-    y0e = (attrs[:, 1] >> 10) & 1023
-    rw = jnp.maximum((attrs[:, 1] >> 20) & 1023, 1)
-    depth_bits = attrs[:, 2]
-    j = k - off_exp
-    tile = (y0e + j // rw) * ntx + x0e + j % rw  # [CAP]
-    tile = jnp.where(dup_valid, tile, ntiles)  # sentinel sorts last
+    depth_i = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
+
+    if use_expand_kernel:
+        from . import expand as expand_lib
+
+        tile, depth_bits, gid_s = expand_lib.expand_keys_pallas(
+            off[:-1], packed_rect, depth_i, dead,
+            jnp.minimum(num_keys, capacity),
+            P, ntx, ntiles, capacity, interpret=interpret)
+        gid_sort = jnp.minimum(gid_s, P)  # kernel sentinel -> P
+    else:
+        starts = jnp.clip(off[:-1], 0, capacity - 1).astype(jnp.int32)
+        in_cap = off[:-1] < capacity
+
+        # 2. expand per-Gaussian values to dup slots. Wide scatters fall off
+        #    a ~10x XLA performance cliff, so ONLY the gaussian id is
+        #    expanded by a 1-column delta-scatter + cumsum; everything else
+        #    is a narrow-row table gather by that id.
+        k = jnp.arange(capacity, dtype=jnp.int32)
+        dup_valid = k < num_keys
+        gid_vals = jnp.arange(P, dtype=jnp.int32)
+        gid_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), gid_vals[:-1]])
+        gid_delta = jnp.where(in_cap, gid_vals - gid_prev, 0)
+        d = jnp.zeros((capacity,), jnp.int32).at[starts].add(
+            gid_delta, mode="drop", indices_are_sorted=True)
+        gid = jnp.cumsum(d)  # [CAP]
+
+        # per-slot attributes via ONE [P, 4] int32 gather: duplication
+        # offset, packed rect (x0 | y0 | w in 10-bit fields), depth sort
+        # bits (view depths are > 0, so the f32 bit pattern is
+        # order-preserving as int32 — the reference packs the same float
+        # bits into its radix key, rasterizer_impl.cu:102)
+        tbl = jnp.stack(
+            [off[:-1], packed_rect, depth_i, dead.astype(jnp.int32)],
+            axis=1,
+        )  # [P, 4]
+        attrs = tbl[gid]  # [CAP, 4]
+        off_exp = attrs[:, 0]
+        x0e = attrs[:, 1] & 1023
+        y0e = (attrs[:, 1] >> 10) & 1023
+        rw = jnp.maximum((attrs[:, 1] >> 20) & 1023, 1)
+        depth_bits = attrs[:, 2]
+        live = dup_valid & (attrs[:, 3] == 0)
+        j = k - off_exp
+        tile = (y0e + j // rw) * ntx + x0e + j % rw  # [CAP]
+        tile = jnp.where(live, tile, ntiles)  # sentinel sorts last
+        depth_bits = jnp.where(live, depth_bits, jnp.int32(2**31 - 1))
+        gid_sort = jnp.where(live, gid, P)
 
     # 3. one sort by (tile, depth) carrying the gaussian ids. Stable: ties
     # (bitwise-equal depths in one tile, common right after clone
@@ -210,7 +241,7 @@ def bin_gaussians(
     # order, reproducing cub's stable radix SortPairs tie behavior
     # (rasterizer_impl.cu:355-363).
     tile_sorted, _, gauss_sorted = jax.lax.sort(
-        (tile, depth_bits, jnp.where(dup_valid, gid, P)), num_keys=2, is_stable=True
+        (tile, depth_bits, gid_sort), num_keys=2, is_stable=True
     )
 
     # 4. per-tile segment bounds. Entries of one tile are contiguous after
@@ -221,8 +252,10 @@ def bin_gaussians(
         slot_to_gaussian=gauss_sorted,
         bounds=bounds,
         dup_offsets=off.astype(jnp.int32),
-        num_keys=num_keys.astype(jnp.int32),
+        num_keys=jnp.where(wrapped, jnp.int32(2**31 - 1),
+                           num_real).astype(jnp.int32),
         overflow=overflow,
+        num_slots=num_keys.astype(jnp.int32),
     )
 
 

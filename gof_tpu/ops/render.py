@@ -24,7 +24,8 @@ class RenderOut(NamedTuple):
     transmittance / depth_weight_sum / median_visit: auxiliary planes used by
       the backward pass and TSDF extraction.
     radii / visibility: densification bookkeeping (radii > 0 <=> binned).
-    num_keys / overflow: binning capacity telemetry for host-side re-jit.
+    num_keys / overflow: binning capacity DEMAND (slots incl. one dead slot
+      per culled gaussian, Binning.num_slots) for host-side growth/re-jit.
     """
 
     image: jnp.ndarray
@@ -80,7 +81,8 @@ def render(
     ntx, nty = binning.tile_grid(camera.width, camera.height)
     rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty,
                                    radius_xy=pre.radius_xy)
-    b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity)
+    b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity,
+                              interpret=interpret)
     # The 2D-dilation compensation is detached (its cov2D backward is disabled
     # in the reference, backward.cu:991-1007).
     op_eff = opacities * jnp.where(pre.valid, jax.lax.stop_gradient(pre.coef), 0.0)
@@ -122,7 +124,7 @@ def render(
         transmittance=full[rp.CH_TFINAL],
         radii=radii,
         visibility=radii > 0,
-        num_keys=b.num_keys,
+        num_keys=b.num_slots,
         overflow=b.overflow,
         compact_demand=compact_demand,
         compact_overflow=compact_overflow,

@@ -225,3 +225,78 @@ class TestTiledRenderer:
         diff = np.abs(np.asarray(img_tiled[:3]) - np.asarray(ref.image[:3]))
         assert diff.max() < 0.05
         assert diff.mean() < 2e-3
+
+
+class TestExpandKernel:
+    """The sliding-window Pallas expansion (ops/expand.py) must reproduce
+    the XLA scatter+cumsum+gather chain bit-for-bit (interpret mode)."""
+
+    def _compare(self, depth, rects, ntx, nty, capacity):
+        a = binning.bin_gaussians(depth, rects, ntx, nty, capacity,
+                                  use_expand_kernel=False)
+        b = binning.bin_gaussians(depth, rects, ntx, nty, capacity,
+                                  use_expand_kernel=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a.num_keys), np.asarray(b.num_keys))
+        np.testing.assert_array_equal(np.asarray(a.num_slots), np.asarray(b.num_slots))
+        np.testing.assert_array_equal(np.asarray(a.overflow), np.asarray(b.overflow))
+        np.testing.assert_array_equal(np.asarray(a.bounds), np.asarray(b.bounds))
+        np.testing.assert_array_equal(
+            np.asarray(a.slot_to_gaussian), np.asarray(b.slot_to_gaussian))
+
+    def test_random_scene_matches_xla(self, rng):
+        n = 700
+        ntx, nty = 6, 5
+        mean2d = jnp.asarray(rng.uniform(-20, 200, (n, 2)), jnp.float32)
+        radius = jnp.asarray(rng.uniform(1, 40, n), jnp.float32)
+        valid = jnp.asarray(rng.random(n) > 0.15)
+        depth = jnp.asarray(rng.uniform(0.5, 30, n), jnp.float32)
+        rects = binning.gaussian_rects(mean2d, radius, valid, ntx, nty)
+        self._compare(depth, rects, ntx, nty, 8192)
+
+    def test_overflow_and_partial_drop(self, rng):
+        """capacity inside the key list: surplus keys of the highest-offset
+        gaussians drop identically in both paths."""
+        n = 300
+        ntx, nty = 8, 8
+        mean2d = jnp.asarray(rng.uniform(0, 250, (n, 2)), jnp.float32)
+        radius = jnp.asarray(rng.uniform(10, 80, n), jnp.float32)
+        valid = jnp.ones(n, bool)
+        depth = jnp.asarray(rng.uniform(0.5, 30, n), jnp.float32)
+        rects = binning.gaussian_rects(mean2d, radius, valid, ntx, nty)
+        self._compare(depth, rects, ntx, nty, 1024)  # far under demand
+
+    def test_empty_and_single(self, rng):
+        ntx, nty = 4, 4
+        depth = jnp.asarray([5.0, 7.0], jnp.float32)
+        mean2d = jnp.asarray([[40.0, 40.0], [90.0, 70.0]], jnp.float32)
+        # nothing valid
+        rects0 = binning.gaussian_rects(mean2d, jnp.asarray([5.0, 5.0]),
+                                        jnp.zeros(2, bool), ntx, nty)
+        self._compare(depth, rects0, ntx, nty, 256)
+        # one valid gaussian covering several tiles
+        rects1 = binning.gaussian_rects(mean2d, jnp.asarray([50.0, 0.0]),
+                                        jnp.asarray([True, False]), ntx, nty)
+        self._compare(depth, rects1, ntx, nty, 256)
+
+    def test_depth_tie_order_matches(self, rng):
+        """Bitwise-equal depths in one tile (post-clone state): stable tie
+        order must match the XLA path."""
+        n = 64
+        ntx, nty = 3, 3
+        mean2d = jnp.asarray(np.tile(rng.uniform(10, 80, (8, 2)), (8, 1)), jnp.float32)
+        radius = jnp.full((n,), 24.0)
+        depth = jnp.asarray(np.tile([3.0, 3.0, 5.0, 5.0], 16), jnp.float32)
+        rects = binning.gaussian_rects(mean2d, radius, jnp.ones(n, bool), ntx, nty)
+        self._compare(depth, rects, ntx, nty, 2048)
+
+    def test_window_slide_stress(self, rng):
+        """Many tiny-count gaussians force repeated window slides (> 2048
+        gaussians per 1024-slot span)."""
+        n = 6000
+        ntx, nty = 10, 8
+        mean2d = jnp.asarray(rng.uniform(0, 300, (n, 2)), jnp.float32)
+        radius = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)  # ~1 tile
+        valid = jnp.asarray(rng.random(n) > 0.5)  # half empty -> id jumps
+        depth = jnp.asarray(rng.uniform(0.5, 30, n), jnp.float32)
+        rects = binning.gaussian_rects(mean2d, radius, valid, ntx, nty)
+        self._compare(depth, rects, ntx, nty, 8192)

@@ -53,7 +53,9 @@ class TestRenderAPI:
         out = render_lib.render(cam, means, scales, rots, opac, shs, 0, 0.1, bg,
                                 active_mask=mask, capacity=2048, backend="xla")
         np.testing.assert_allclose(np.asarray(out.image[:3]), 0.0, atol=1e-7)
-        assert int(out.num_keys) == 0
+        # num_keys is the capacity DEMAND: one dead slot per culled gaussian,
+        # zero real keys
+        assert int(out.num_keys) == 16
 
     @pytest.mark.slow
 
