@@ -152,7 +152,10 @@ def bin_gaussians(
         or when interpreting; XLA chain on plain CPU.
     """
     if use_expand_kernel is None:
-        use_expand_kernel = interpret or jax.default_backend() != "cpu"
+        from . import expand as expand_lib
+
+        use_expand_kernel = interpret or (
+            jax.default_backend() != "cpu" and expand_lib.kernel_available())
     # Kernels DMA whole CHUNK_SIZE-aligned windows; round the slot array up.
     capacity = -(-capacity // CHUNK_SIZE) * CHUNK_SIZE
     P = depth.shape[0]

@@ -34,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -41,6 +42,37 @@ CH = 512  # slots per chunk
 W = 2048  # gaussian window
 FLUSH = 1024  # slide granularity; FLUSH + CH + 1 <= W keeps every owner in-window
 K = 16  # table planes (14 used)
+
+
+_KERNEL_OK: bool | None = None
+
+
+def kernel_available() -> bool:
+    """One-time compile probe of the expand kernel on the default backend.
+
+    Mosaic lowering constraints only surface on real hardware; a failure
+    here makes bin_gaussians fall back to its XLA chain instead of taking
+    down every caller (train/bench/entry compile checks). Concrete tiny
+    inputs, so this is safe to trigger from inside another trace.
+    """
+    global _KERNEL_OK
+    if _KERNEL_OK is None:
+        try:
+            import warnings
+
+            off = jnp.asarray(np.arange(8), jnp.int32)
+            rect = jnp.full((8,), (1 << 20) | 1, jnp.int32)
+            dep = jnp.asarray(np.arange(8) + 1, jnp.int32)
+            dead = jnp.zeros((8,), bool)
+            out = expand_keys_pallas(off, rect, dep, dead, jnp.int32(8),
+                                     8, 4, 16, 1024)
+            jax.block_until_ready(out[0])
+            _KERNEL_OK = True
+        except Exception as e:  # noqa: BLE001 — any lowering failure
+            warnings.warn(f"expand kernel unavailable on this backend, "
+                          f"falling back to the XLA chain: {e!r}")
+            _KERNEL_OK = False
+    return _KERNEL_OK
 
 
 def _floor_div(num, den_f, den_i):

@@ -156,6 +156,31 @@ def sorted_segment_reduce(rows_t: jnp.ndarray, gids_sorted: jnp.ndarray,
     )(chunk_last, rows_t, gids_sorted[None, :])
 
 
+_KERNEL_OK: bool | None = None
+
+
+def kernel_available() -> bool:
+    """One-time compile probe on the default backend; on a Mosaic lowering
+    failure every caller falls back to segment_sum instead of crashing."""
+    global _KERNEL_OK
+    if _KERNEL_OK is None:
+        try:
+            import warnings
+
+            import numpy as np
+
+            rows = jnp.asarray(np.ones((16, CH), np.float32))
+            ids = jnp.zeros((CH,), jnp.int32)
+            out = sorted_segment_reduce(rows, ids, 64)
+            jax.block_until_ready(out)
+            _KERNEL_OK = True
+        except Exception as e:  # noqa: BLE001 — any lowering failure
+            warnings.warn(f"sorted-reduce kernel unavailable on this "
+                          f"backend, falling back to segment_sum: {e!r}")
+            _KERNEL_OK = False
+    return _KERNEL_OK
+
+
 def reduce_rows_by_gid(rows_t: jnp.ndarray, gidc: jnp.ndarray, P: int,
                        interpret: bool = False) -> jnp.ndarray:
     """Per-gaussian sums of compacted gradient rows.
@@ -164,8 +189,8 @@ def reduce_rows_by_gid(rows_t: jnp.ndarray, gidc: jnp.ndarray, P: int,
     dropped). Returns [P, C].
     """
     C, R = rows_t.shape
-    if interpret or R % CH != 0:
-        # interpret / odd-size fallback: XLA segment_sum (same semantics)
+    if interpret or R % CH != 0 or not kernel_available():
+        # interpret / odd-size / no-Mosaic fallback: XLA segment_sum
         return jax.ops.segment_sum(rows_t.T, gidc, num_segments=P + 1)[:P]
     gid_sorted, perm = jax.lax.sort(
         (gidc, jnp.arange(R, dtype=jnp.int32)), num_keys=1)
