@@ -37,6 +37,44 @@ def score(pred_pts, gt_pts, tau):
     return res
 
 
+def visible_mask(gt_pts, ncams=12):
+    """Keep GT samples visible from >= 1 train-ring camera, computed with the
+    scene's own analytic ray tracer: the analog of DTU's ObsMask
+    (dtu_eval/eval.py:95-122) — unobserved regions (sphere/box undersides,
+    occluded faces) are excluded from recall there too."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "mps", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "make_procedural_scene.py"))
+    mps = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mps)
+
+    vis = np.zeros(len(gt_pts), bool)
+    eyes = mps.camera_ring(36, seed=0)
+    for eye in eyes[:: max(1, len(eyes) // ncams)]:
+        todo = ~vis
+        if not todo.any():
+            break
+        d = gt_pts[todo] - eye
+        dist = np.linalg.norm(d, axis=-1)
+        t, _ = mps.trace(eye.astype(np.float64), d / dist[:, None])
+        vis[np.nonzero(todo)[0][t >= dist - 1e-3]] = True
+    return vis
+
+
+def crop_to_gt(pred_pts, gt_pts, margin):
+    """Keep predicted points inside the GT bounding box (+margin): the
+    analog of the TNT crop polygon (eval_tnt/run.py crop_volume) and DTU
+    ObsMask (dtu_eval/eval.py:95-122) — both reference protocols score only
+    the observed/cropped region, so raw level-set envelopes and out-of-view
+    floaters are excluded there too."""
+    lo = gt_pts.min(0) - margin
+    hi = gt_pts.max(0) + margin
+    keep = np.all((pred_pts >= lo) & (pred_pts <= hi), axis=1)
+    return pred_pts[keep]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-m", "--model_path", required=True)
@@ -46,11 +84,15 @@ def main():
                     help="F-score threshold in scene units")
     ap.add_argument("--density", type=float, default=0.01,
                     help="surface sampling density (points per density^2)")
+    ap.add_argument("--crop_margin", type=float, default=0.1,
+                    help="GT-bbox crop margin for the protocol-style score")
     ns = ap.parse_args()
 
     gt_pts = load_mesh_points(os.path.join(ns.scene_path, "gt_mesh.ply"),
                               ns.density)
-    print(f"gt surface samples: {len(gt_pts)}")
+    vis = visible_mask(gt_pts)
+    gt_vis = gt_pts[vis]
+    print(f"gt surface samples: {len(gt_pts)} ({len(gt_vis)} camera-visible)")
 
     out = {}
     base = os.path.join(ns.model_path, "test", f"ours_{ns.iteration}")
@@ -71,13 +113,18 @@ def main():
             print(f"{name}: missing ({path})")
             continue
         pred = load_mesh_points(path, ns.density)
-        res = score(pred, gt_pts, ns.tau)
+        cropped = crop_to_gt(pred, gt_pts, ns.crop_margin)
+        res = score(cropped, gt_vis, ns.tau)
+        raw = score(pred, gt_pts, ns.tau)
+        res.update({f"raw_{k}": v for k, v in raw.items()})
         res["mesh"] = os.path.relpath(path, ns.model_path)
         res["pred_samples"] = int(len(pred))
+        res["cropped_samples"] = int(len(cropped))
         out[name] = res
         print(f"{name}: fscore@{ns.tau}={res['fscore']:.3f} "
               f"precision={res['precision']:.3f} recall={res['recall']:.3f} "
-              f"chamfer={res['chamfer_overall']:.4f}")
+              f"chamfer={res['chamfer_overall']:.4f} "
+              f"(raw fscore={raw['fscore']:.3f} chamfer={raw['chamfer_overall']:.4f})")
 
     dst = os.path.join(ns.model_path, "geometry_vs_gt.json")
     with open(dst, "w") as f:

@@ -31,12 +31,21 @@ PLANE_Y = -1.0
 LIGHT = np.array([0.45, 0.8, 0.35]) / np.linalg.norm([0.45, 0.8, 0.35])
 
 
+# Texture difficulty knobs (set by --tex-freq / --octaves): multiplying the
+# base frequencies and adding octaves raises the image-gradient floor, which
+# sustains densification much longer — the lever for driving a run into the
+# multi-million-gaussian late regime (VERDICT r2 item 2).
+TEX_FREQ = 1.0
+OCTAVES = 3
+
+
 def _fbm(p, f0, seed):
     """Cheap band-limited 3D value noise from summed sines."""
+    f0 = f0 * TEX_FREQ
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
     v = np.zeros_like(x)
     rng = np.random.default_rng(seed)
-    for octave in range(3):
+    for octave in range(OCTAVES):
         f = f0 * (2.0**octave)
         a, b, c = rng.uniform(0, 2 * np.pi, 3)
         d = rng.uniform(-1, 1, (3, 3))
@@ -44,7 +53,8 @@ def _fbm(p, f0, seed):
               * np.sin(f * (x * d[1, 0] + y * d[1, 1] + z * d[1, 2]) + b)
               + 0.5 * np.sin(f * (x * d[2, 0] + y * d[2, 1] + z * d[2, 2]) + c)
               ) / (2.0**octave)
-    return v / 3.0
+    # keeps the historical amplitude (/3.0) at OCTAVES=3 for any octave count
+    return v / (3.0 * (2.0 - 2.0 ** (1 - OCTAVES)) / 1.75)
 
 
 def albedo(p, mat):
@@ -270,7 +280,13 @@ def main():
     ap.add_argument("--test-views", type=int, default=6)
     ap.add_argument("--fovx", type=float, default=1.1)
     ap.add_argument("--points", type=int, default=40_000)
+    ap.add_argument("--tex-freq", type=float, default=1.0,
+                    help="texture frequency multiplier (higher -> more "
+                         "densification pressure)")
+    ap.add_argument("--octaves", type=int, default=3)
     args = ap.parse_args()
+    global TEX_FREQ, OCTAVES
+    TEX_FREQ, OCTAVES = args.tex_freq, args.octaves
 
     from PIL import Image
 
