@@ -42,6 +42,9 @@ CH = 512  # slots per chunk
 W = 2048  # gaussian window
 FLUSH = 1024  # slide granularity; FLUSH + CH + 1 <= W keeps every owner in-window
 K = 16  # table planes (14 used)
+LANES = 128  # physical table width: Mosaic requires DMA slices lane-aligned
+# to the (8,128) bf16 tile, so the table carries K logical planes in the
+# first K of 128 lanes (the rest are zero and ignored by the kernel).
 
 
 _KERNEL_OK: bool | None = None
@@ -52,20 +55,23 @@ def kernel_available() -> bool:
 
     Mosaic lowering constraints only surface on real hardware; a failure
     here makes bin_gaussians fall back to its XLA chain instead of taking
-    down every caller (train/bench/entry compile checks). Concrete tiny
-    inputs, so this is safe to trigger from inside another trace.
+    down every caller (train/bench/entry compile checks). Concrete inputs
+    at a production-like shape (lowering constraints are SHAPE-DEPENDENT:
+    a [5120, K] table compiled where a [104448, K] one was rejected), so
+    this is safe to trigger from inside another trace and meaningful.
     """
     global _KERNEL_OK
     if _KERNEL_OK is None:
         try:
             import warnings
 
-            off = jnp.asarray(np.arange(8), jnp.int32)
-            rect = jnp.full((8,), (1 << 20) | 1, jnp.int32)
-            dep = jnp.asarray(np.arange(8) + 1, jnp.int32)
-            dead = jnp.zeros((8,), bool)
-            out = expand_keys_pallas(off, rect, dep, dead, jnp.int32(8),
-                                     8, 4, 16, 1024)
+            n = 100_352
+            off = jnp.asarray(np.arange(n), jnp.int32)
+            rect = jnp.full((n,), (1 << 20) | 1, jnp.int32)
+            dep = jnp.asarray(np.arange(n) % 997 + 1, jnp.int32)
+            dead = jnp.zeros((n,), bool)
+            out = expand_keys_pallas(off, rect, dep, dead, jnp.int32(n),
+                                     n, 40, 1024, 131072)
             jax.block_until_ready(out[0])
             _KERNEL_OK = True
         except Exception as e:  # noqa: BLE001 — any lowering failure
@@ -143,14 +149,16 @@ def _expand_kernel(ntx: int, ntiles: int, sentinel: int,
 
     jax.lax.while_loop(cond, body, jnp.bool_(False))
 
-    cmp = (off_col() <= slot.astype(jnp.float32)).astype(jnp.bfloat16)  # [W, CH]
+    cmp = (off_col() <= slot.astype(jnp.float32)).astype(jnp.float32)  # [W, CH]
     # owner indicator: off_w <= s < off_{w+1}. The value shifted in at the
     # last row is 0 == (off_W <= s), correct by the slide invariant (the
     # owner's window index stays < W, so s < off_W always).
     onehot = cmp - jnp.concatenate(
-        [cmp[1:, :], jnp.zeros((1, CH), jnp.bfloat16)], axis=0)
+        [cmp[1:, :], jnp.zeros((1, CH), jnp.float32)], axis=0)
+    # f32 operands: Mosaic's dim-0-contraction (transposed-lhs) matmul
+    # rejects bf16 lhs ("Bad lhs type"); the 8-bit planes are exact in f32.
     attrs = jax.lax.dot_general(
-        win[:, :], onehot, (((0,), (0,)), ((), ())),
+        win[:, :].astype(jnp.float32), onehot, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)  # [K, CH]
 
     def b8(i):  # plane i as int32 row [1, CH]
@@ -235,6 +243,11 @@ def expand_keys_pallas(off: jnp.ndarray, packed_rect: jnp.ndarray,
     col_list = [pad(x, f) for x, f in zip(cols, fills)]
     col_list += [jnp.zeros((ppad,), jnp.bfloat16)] * (K - len(col_list))
     tbl = jnp.stack(col_list, axis=1)  # [PPAD, K] bf16, gaussians = sublanes
+    # Mosaic rejects DMA slices whose minor dim is narrower than the 128-lane
+    # bf16 tile, so on hardware the table carries K planes in 128 lanes;
+    # interpret mode skips the 8x pad (no tiling constraint, 8x less work).
+    lanes = K if interpret else LANES
+    tbl = jnp.pad(tbl, ((0, 0), (0, lanes - K)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -242,7 +255,7 @@ def expand_keys_pallas(off: jnp.ndarray, packed_rect: jnp.ndarray,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 8, CH), lambda c, nk: (c, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((W, K), jnp.bfloat16),
+            pltpu.VMEM((W, lanes), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
             pltpu.SMEM((1,), jnp.int32),
         ],

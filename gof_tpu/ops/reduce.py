@@ -169,9 +169,14 @@ def kernel_available() -> bool:
 
             import numpy as np
 
-            rows = jnp.asarray(np.ones((16, CH), np.float32))
-            ids = jnp.zeros((CH,), jnp.int32)
-            out = sorted_segment_reduce(rows, ids, 64)
+            # production-like shape: Mosaic lowering constraints are
+            # shape-dependent, so a tiny probe can pass where the real
+            # workload is rejected
+            rows = jnp.asarray(np.ones((16, 64 * CH), np.float32))
+            ids = jnp.sort(jnp.asarray(
+                np.random.default_rng(0).integers(0, 100_001, 64 * CH),
+                jnp.int32))
+            out = sorted_segment_reduce(rows, ids, 100_000)
             jax.block_until_ready(out)
             _KERNEL_OK = True
         except Exception as e:  # noqa: BLE001 — any lowering failure

@@ -5,7 +5,11 @@ production shapes, verifying against their XLA-equivalent paths.
 Interpret mode does NOT catch Mosaic lowering constraints (sublane
 multiples, DMA alignment, layout changes) — this does.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +66,8 @@ def main():
             return red.reduce_rows_by_gid(r, g, P)
 
         def ref(r, g, P=P):
-            return jax.ops.segment_sum(r.T, g, num_segments=P + 1)[:P].T
+            # reduce_rows_by_gid returns [P, C]
+            return jax.ops.segment_sum(r.T, g, num_segments=P + 1)[:P]
 
         check(f"sorted reduce R={R} P={P}", kern, jax.jit(ref), (rows, ids),
               atol=1e-4)
