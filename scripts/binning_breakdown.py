@@ -3,6 +3,8 @@ unaligned-segment pipeline: fused delta-scatter expansion -> (tile, depth)
 2-key sort carrying the gaussian id -> bisection bounds)."""
 import time
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np

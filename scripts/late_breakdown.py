@@ -5,6 +5,8 @@ readback, slope between N=2 and N=10."""
 import argparse
 import time
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np
