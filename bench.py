@@ -134,9 +134,9 @@ def main():
     ap.add_argument("--gaussians", type=int, default=100_000)
     ap.add_argument("--width", type=int, default=1237)
     ap.add_argument("--height", type=int, default=822)
-    # Capacity is what the training loop's growth policy (grow to 1.3x
+    # Capacity is what the training loop's right-sizing policy (1.15x
     # observed demand, 64k-aligned) settles at for this workload.
-    ap.add_argument("--capacity", type=int, default=1_638_400)
+    ap.add_argument("--capacity", type=int, default=1_441_792)
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--late", action="store_true", default=True,
                     help="also sweep the late-training scale (1M gaussians); "
@@ -149,6 +149,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from gof_tpu.utils import compile_cache
+
+    compile_cache.enable()
 
     iters_per_sec, nk = bench_config(
         args.gaussians, args.width, args.height, args.capacity, args.reps,
@@ -162,9 +165,9 @@ def main():
     }
     if args.late:
         # late-training design point: 1M gaussians / ~3.2M keys; capacity is
-        # what the loop's right-sizing (1.3x demand, 64k-aligned) settles at
+        # what the loop's right-sizing (1.15x demand, 64k-aligned) settles at
         late_ips, late_nk = bench_config(
-            1_000_000, args.width, args.height, 4_194_304,
+            1_000_000, args.width, args.height, 3_670_016,
             max(args.reps // 2, 5), "late-training", sigma=-4.3, verbose=True)
         print(f"# late-training: {late_ips:.2f} it/s at {late_nk} keys")
         rec["late_iters_per_sec"] = round(late_ips, 3)

@@ -12,6 +12,8 @@ import os
 
 
 def main(argv=None):
+    from gof_tpu.utils import compile_cache
+    compile_cache.enable()
     import jax
 
     parser = argparse.ArgumentParser(description="gof_tpu mesh extraction")

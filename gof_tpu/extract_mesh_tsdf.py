@@ -16,6 +16,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from gof_tpu.utils import compile_cache
+    compile_cache.enable()
     import jax
     import jax.numpy as jnp
 

@@ -55,6 +55,8 @@ def evaluate_dir(base: str, lpips_weights: str = ""):
 
 
 def main(argv=None):
+    from gof_tpu.utils import compile_cache
+    compile_cache.enable()
     import jax
 
     parser = argparse.ArgumentParser()

@@ -5,21 +5,27 @@ TPU-native replacement for the reference's cub-based binning
 rasterizer_impl.cu:70-171,330-373). Differences by design:
 
 - tiles are 32x32 pixels (TPU (8,128) vector layout), not 16x16 CUDA blocks;
-- the duplicated key list has a *static* capacity. Overflow drops the
-  highest-index Gaussians' surplus keys and is reported so the host can
-  re-jit with a larger capacity (the training loop skips the parameter
-  update on overflow steps, so the drop order is immaterial);
-- keys are expanded by pure delta-scatter+cumsum gathers in original
-  Gaussian order, then one 2-key sort by (tile, depth-bits) carrying the
-  Gaussian id yields the (tile, depth)-ordered list — the same order the
-  reference's radix sort produces (tile << 32 | float_bits(depth),
-  rasterizer_impl.cu:70-111);
+- the duplicated key list has a *static* capacity. Overflow drops surplus
+  keys and is reported so the host can re-jit with a larger capacity (the
+  training loop skips the parameter update on overflow steps, so the drop
+  order is immaterial);
+- key expansion is CLOSED-FORM: gaussians are sorted into size classes
+  (padded per-gaussian key counts), so slot -> owning gaussian is uniform-
+  stride arithmetic per class — no prefix scan over the key list, no
+  scatter, no sequential window walk. One narrow attrs gather per slot and
+  one 3-key sort by (tile, depth-bits, gaussian id) produce the
+  (tile, depth)-ordered list with EXACTLY the reference's tie order
+  (cub's stable radix sort keeps original gaussian order on equal keys,
+  rasterizer_impl.cu:355-363 — here the id is the explicit third key);
 - tile segments are *unaligned*: the blend kernels DMA chunks starting at
   aligned_down(seg_start) and mask the head/tail entries that belong to
   neighboring tiles. No per-tile padding, no relayout gather.
 
-Everything is gather/cumsum/sort based — no capacity-sized scatter, no
-atomics, and the result is bit-deterministic run to run.
+Everything is gather/sort based — no capacity-sized scatter, no atomics,
+and the result is bit-deterministic run to run. At the late-training design
+point (1M gaussians / 3.2M keys / 4.2M capacity on TPU v5e) this pipeline
+costs ~35 ms vs ~99 ms for the round-3 sliding-window expansion kernel
+(whose one-hot MXU gather paid W*128 MACs per slot).
 """
 
 from __future__ import annotations
@@ -28,10 +34,16 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..constants import TILE_H, TILE_W
 
 CHUNK_SIZE = 128  # Gaussians per VMEM chunk in the blend kernels
+
+# Size classes for the closed-form expansion: exact classes 1..EXACT_MAX
+# (zero padding waste for the common small rects), then powers of two.
+# Padded slot overhead is <= 2x only for counts > EXACT_MAX (rare giants).
+EXACT_MAX = 32
 
 
 class TileRect(NamedTuple):
@@ -85,38 +97,23 @@ class Binning(NamedTuple):
 
     slot_to_gaussian: jnp.ndarray  # [CAP] int32, == P for padding
     bounds: jnp.ndarray  # [NTILES+1] int32: tile t owns slots [b[t], b[t+1])
-    dup_offsets: jnp.ndarray  # [P+1] int32 exclusive dup offsets (original order)
-    num_keys: jnp.ndarray  # scalar int32: REAL duplicated keys (pre-drop)
+    num_keys: jnp.ndarray  # scalar int32: REAL duplicated keys
     overflow: jnp.ndarray  # scalar bool: capacity exceeded (surplus dropped)
-    num_slots: jnp.ndarray  # scalar int32: slot demand incl. the one DEAD
-    # slot each culled gaussian owns (strictly-ascending offsets for the
-    # expand kernel) — what capacity sizing must satisfy
+    num_slots: jnp.ndarray  # scalar int32: class-padded slot demand — what
+    # capacity sizing must satisfy (>= num_keys; the pad is the per-class
+    # rounding of each gaussian's key count)
 
 
-def _expand(values: jnp.ndarray, starts: jnp.ndarray, in_cap: jnp.ndarray, capacity: int) -> jnp.ndarray:
-    """Expand per-segment int32 constants to per-slot values.
-
-    Segment i covers slots [starts[i], starts[i+1]); values repeat across
-    each segment. Implemented as delta[starts[i]] += v[i] - v[i-1]; cumsum.
-    Empty segments (duplicate starts) telescope correctly through the
-    scatter-add. Cost: one small scatter (len(values) rows) + one cumsum.
-    """
-    v = values.astype(jnp.int32)
-    prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), v[:-1]])
-    delta = jnp.where(in_cap, v - prev, 0)
-    d = jnp.zeros((capacity,), jnp.int32).at[starts].add(delta, mode="drop")
-    return jnp.cumsum(d)
-
-
-def _bounds_by_bisection(sorted_keys: jnp.ndarray, nseg: int) -> jnp.ndarray:
-    """searchsorted(sorted_keys, arange(nseg+1), side='left') via an explicit
-    bisection loop: log2(CAP) iterations of one [nseg+1]-element gather each
+def _searchsorted_left(sorted_keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
+    """searchsorted(sorted_keys, queries, side='left') via an explicit
+    bisection loop: log2(N) iterations of one [Q]-element gather each
     (XLA's searchsorted lowers to a full-length scan here — measured 4.7 ms
     at 1M keys vs <0.5 ms for this)."""
     n = sorted_keys.shape[0]
-    q = jnp.arange(nseg + 1, dtype=sorted_keys.dtype)
-    lo = jnp.zeros((nseg + 1,), jnp.int32)  # invariant: keys[lo-1] < q
-    hi = jnp.full((nseg + 1,), n, jnp.int32)  # invariant: keys[hi] >= q
+    q = queries.astype(sorted_keys.dtype)
+    nq = q.shape[0]
+    lo = jnp.zeros((nq,), jnp.int32)  # invariant: keys[lo-1] < q
+    hi = jnp.full((nq,), n, jnp.int32)  # invariant: keys[hi] >= q
     steps = n.bit_length() + 1  # interval [0, n] needs ceil(log2(n+1)) halvings
 
     def body(_, carry):
@@ -130,135 +127,162 @@ def _bounds_by_bisection(sorted_keys: jnp.ndarray, nseg: int) -> jnp.ndarray:
     return hi.astype(jnp.int32)
 
 
+def _bounds_by_bisection(sorted_keys: jnp.ndarray, nseg: int) -> jnp.ndarray:
+    return _searchsorted_left(sorted_keys,
+                              jnp.arange(nseg + 1, dtype=sorted_keys.dtype))
+
+
+def class_sizes(max_count: int) -> list[int]:
+    """Static padded-size ladder: 1..EXACT_MAX exact, then powers of two
+    covering max_count (= ntiles for unbounded rects)."""
+    sizes = list(range(1, EXACT_MAX + 1))
+    s = EXACT_MAX * 2
+    while s < max_count:
+        sizes.append(s)
+        s *= 2
+    if max_count > EXACT_MAX:
+        sizes.append(s)
+    return sizes
+
+
+def _floor_div(num: jnp.ndarray, den: jnp.ndarray) -> jnp.ndarray:
+    """Exact floor(num / den) for int32 num >= 0, den >= 1 via f32 division
+    with a +-1 correction (num < 2^24 so the correction window is 1)."""
+    q = jnp.floor(num.astype(jnp.float32) / den.astype(jnp.float32)).astype(jnp.int32)
+    r = num - q * den
+    q = jnp.where(r < 0, q - 1, q)
+    r = num - q * den
+    q = jnp.where(r >= den, q + 1, q)
+    return q
+
+
 def bin_gaussians(
     depth: jnp.ndarray,
     rects: TileRect,
     ntx: int,
     nty: int,
     capacity: int,
-    use_expand_kernel: bool | None = None,
-    interpret: bool = False,
 ) -> Binning:
     """Build the (tile, depth)-ordered duplicated Gaussian list.
 
     Args:
       depth: [P] view-space depths (> 0 for valid Gaussians; invalid
         Gaussians have rects.w/h == 0 and may hold anything).
-      capacity: static maximum number of duplicated keys (multiple of 128).
-      use_expand_kernel: expand keys with the sliding-window Pallas kernel
-        (ops/expand.py) instead of the XLA scatter+cumsum+gather chain
-        (those are scalar-pipeline ops costing 10s of ms at millions of
-        keys; the kernel rides the MXU). Default: kernel on an accelerator
-        or when interpreting; XLA chain on plain CPU.
-    """
-    if use_expand_kernel is None:
-        from . import expand as expand_lib
+      capacity: static maximum number of padded key slots (rounded up to a
+        multiple of CHUNK_SIZE).
 
-        use_expand_kernel = interpret or (
-            jax.default_backend() != "cpu" and expand_lib.kernel_available())
+    Pipeline (all static shapes):
+      1. per-gaussian key count -> padded size class (elementwise ladder);
+      2. one [P] sort by padded size (carrying the id) groups gaussians
+         into contiguous classes; class boundaries by bisection;
+      3. slot k's owner is CLOSED FORM: inside class c (uniform stride S_c)
+         owner-rank = (k - class_start_c) // S_c — no scan over the key
+         list; one narrow 4-column attrs gather resolves (rect, depth bits,
+         count, id);
+      4. one 3-key sort by (tile, depth-bits, id). Depths are > 0 so the
+         f32 bit pattern is order-preserving as int32 — the same float-bits
+         trick as the reference's radix key (rasterizer_impl.cu:102); the
+         id key reproduces cub's stable tie order exactly.
+    """
     # Kernels DMA whole CHUNK_SIZE-aligned windows; round the slot array up.
     capacity = -(-capacity // CHUNK_SIZE) * CHUNK_SIZE
     P = depth.shape[0]
     ntiles = ntx * nty
-    counts_real = (rects.w * rects.h).astype(jnp.int32)  # [P]
-    # Every gaussian emits >= 1 key (invalid ones a DEAD key that sorts with
-    # the padding sentinel and is never touched by any kernel): strictly
-    # ascending duplication offsets bound the expand kernel's window span to
-    # chunk+1 gaussians regardless of how many culled gaussians interleave.
-    # Cost: <= P extra capacity, only on sort/expand (dead keys live past
-    # every tile segment).
-    counts = jnp.maximum(counts_real, 1)
-    dead = counts_real == 0
+    counts = (rects.w * rects.h).astype(jnp.int32)  # [P]
 
-    # 1. duplication offsets in original Gaussian order
-    off = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])  # [P+1]
-    num_keys = off[-1]  # padded slot demand; real count reported separately
-    num_real = num_keys - jnp.sum(dead.astype(jnp.int32))
-    # Detect int32 wrap: with unbounded rects many grid-covering gaussians can
-    # push the true total past 2^31 (exactly the exploding-scale states the
-    # overflow gate must catch); a wrapped cumsum would read negative and make
-    # `num_keys > capacity` a false negative. Counts are per-gaussian bounded
-    # by ntiles, so a saturating f64-free check is enough: any negative prefix
-    # means wrap.
-    wrapped = jnp.min(off) < 0
-    overflow = (num_keys > capacity) | wrapped
-    num_keys = jnp.where(wrapped, jnp.int32(2**31 - 1), num_keys)
+    sizes = class_sizes(ntiles)
+    nc = len(sizes)
+    sizes_np = np.asarray(sizes, np.int32)
 
+    # 1. padded size per gaussian (0 for culled): descending where-ladder is
+    # exact for any count (no float log edge cases)
+    padded = jnp.full_like(counts, sizes[-1])
+    for s in reversed(sizes[:-1]):
+        padded = jnp.where(counts <= s, s, padded)
+    padded = jnp.where(counts > 0, padded, 0)
+
+    # 2. group gaussians by class: one [P] sort carrying the id AND the
+    # per-gaussian attrs (extra sort operands are nearly free at [P] scale,
+    # while a separate [P]-row permutation gather costs ~5 ms at 1M)
+    gid = jnp.arange(P, dtype=jnp.int32)
     packed_rect = (
         rects.x0.astype(jnp.int32)
         | (rects.y0.astype(jnp.int32) << 10)
         | (jnp.minimum(rects.w, 1023).astype(jnp.int32) << 20)
     )
     depth_i = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
+    gs_pad, rect_c, depth_c, cnt_c, gs_gid = jax.lax.sort(
+        (padded, packed_rect, depth_i, counts, gid), num_keys=1, is_stable=True)
+    # class c owns gaussians [gb[c], gb[c+1]) (padded values are exactly
+    # class sizes, so bisection at the next size closes each class)
+    queries = jnp.asarray(np.concatenate([sizes_np, [sizes_np[-1] + 1]]), jnp.int32)
+    gb = _searchsorted_left(gs_pad, queries)  # [nc+1]
+    n_c = gb[1:] - gb[:-1]
+    nslots_c = n_c * sizes_np
+    class_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nslots_c).astype(jnp.int32)])
 
-    if use_expand_kernel:
-        from . import expand as expand_lib
+    # int32-wrap detection (f32 shadow: exact enough to flag > 2^31 totals)
+    tot_f = jnp.sum(n_c.astype(jnp.float32) * sizes_np.astype(jnp.float32))
+    wrapped = tot_f > jnp.float32(2**31 - 1)
+    num_slots = jnp.where(wrapped, jnp.int32(2**31 - 1), class_start[-1])
+    nk_f = jnp.sum(counts.astype(jnp.float32))
+    num_keys = jnp.where(wrapped | (nk_f > 2**31 - 1),
+                         jnp.int32(2**31 - 1), jnp.sum(counts))
+    overflow = (num_slots > capacity) | wrapped
 
-        tile, depth_bits, gid_s = expand_lib.expand_keys_pallas(
-            off[:-1], packed_rect, depth_i, dead,
-            jnp.minimum(num_keys, capacity),
-            P, ntx, ntiles, capacity, interpret=interpret)
-        gid_sort = jnp.minimum(gid_s, P)  # kernel sentinel -> P
-    else:
-        starts = jnp.clip(off[:-1], 0, capacity - 1).astype(jnp.int32)
-        in_cap = off[:-1] < capacity
+    # 3. per-slot owner arithmetic (elementwise over [CAP])
+    k = jnp.arange(capacity, dtype=jnp.int32)
+    stride = jnp.full((capacity,), sizes[0], jnp.int32)
+    cbase = jnp.zeros((capacity,), jnp.int32)
+    gbase = jnp.broadcast_to(gb[0], (capacity,))
+    for c in range(1, nc):
+        m = k >= class_start[c]
+        stride = jnp.where(m, sizes[c], stride)
+        cbase = jnp.where(m, class_start[c], cbase)
+        gbase = jnp.where(m, gb[c], gbase)
+    local = k - cbase
+    rank = _floor_div(jnp.maximum(local, 0), stride)
+    gidx = gbase + rank
+    j = local - rank * stride
 
-        # 2. expand per-Gaussian values to dup slots. Wide scatters fall off
-        #    a ~10x XLA performance cliff, so ONLY the gaussian id is
-        #    expanded by a 1-column delta-scatter + cumsum; everything else
-        #    is a narrow-row table gather by that id.
-        k = jnp.arange(capacity, dtype=jnp.int32)
-        dup_valid = k < num_keys
-        gid_vals = jnp.arange(P, dtype=jnp.int32)
-        gid_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), gid_vals[:-1]])
-        gid_delta = jnp.where(in_cap, gid_vals - gid_prev, 0)
-        d = jnp.zeros((capacity,), jnp.int32).at[starts].add(
-            gid_delta, mode="drop", indices_are_sorted=True)
-        gid = jnp.cumsum(d)  # [CAP]
+    # attrs in class-sorted order (carried by the class sort above): ONE
+    # [CAP]-row narrow gather resolves every slot — the single key-list-
+    # sized gather in the whole binning pipeline
+    tbl = jnp.stack([rect_c, depth_c, cnt_c, gs_gid], axis=1)  # [P, 4]
+    a = tbl[jnp.clip(gidx, 0, max(P - 1, 0))]  # [CAP, 4]
+    rect_s, depth_s, cnt_s, gid_s = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
 
-        # per-slot attributes via ONE [P, 4] int32 gather: duplication
-        # offset, packed rect (x0 | y0 | w in 10-bit fields), depth sort
-        # bits (view depths are > 0, so the f32 bit pattern is
-        # order-preserving as int32 — the reference packs the same float
-        # bits into its radix key, rasterizer_impl.cu:102)
-        tbl = jnp.stack(
-            [off[:-1], packed_rect, depth_i, dead.astype(jnp.int32)],
-            axis=1,
-        )  # [P, 4]
-        attrs = tbl[gid]  # [CAP, 4]
-        off_exp = attrs[:, 0]
-        x0e = attrs[:, 1] & 1023
-        y0e = (attrs[:, 1] >> 10) & 1023
-        rw = jnp.maximum((attrs[:, 1] >> 20) & 1023, 1)
-        depth_bits = attrs[:, 2]
-        live = dup_valid & (attrs[:, 3] == 0)
-        j = k - off_exp
-        tile = (y0e + j // rw) * ntx + x0e + j % rw  # [CAP]
-        tile = jnp.where(live, tile, ntiles)  # sentinel sorts last
-        depth_bits = jnp.where(live, depth_bits, jnp.int32(2**31 - 1))
-        gid_sort = jnp.where(live, gid, P)
+    nsl = jnp.where(wrapped, 0, num_slots)
+    live = (k < nsl) & (j < cnt_s) & (gidx < P)
 
-    # 3. one sort by (tile, depth) carrying the gaussian ids. Stable: ties
-    # (bitwise-equal depths in one tile, common right after clone
-    # densification) then keep the pre-sort order = original gaussian-id
-    # order, reproducing cub's stable radix SortPairs tie behavior
-    # (rasterizer_impl.cu:355-363).
+    x0e = rect_s & 1023
+    y0e = (rect_s >> 10) & 1023
+    rw = jnp.maximum((rect_s >> 20) & 1023, 1)
+    jdiv = _floor_div(j, rw)
+    jmod = j - jdiv * rw
+    tile = (y0e + jdiv) * ntx + x0e + jmod  # [CAP]
+    tile = jnp.where(live, tile, ntiles)  # sentinel sorts last
+    depth_bits = jnp.where(live, depth_s, jnp.int32(2**31 - 1))
+    gid_sort = jnp.where(live, gid_s, P)
+
+    # 4. one 3-key sort: (tile, depth, id). Unique triples (a gaussian
+    # appears at most once per tile), so no stability flag is needed; the id
+    # key reproduces cub's stable-radix tie order (rasterizer_impl.cu:355).
     tile_sorted, _, gauss_sorted = jax.lax.sort(
-        (tile, depth_bits, gid_sort), num_keys=2, is_stable=True
+        (tile, depth_bits, gid_sort), num_keys=3, is_stable=False
     )
 
-    # 4. per-tile segment bounds. Entries of one tile are contiguous after
+    # 5. per-tile segment bounds. Entries of one tile are contiguous after
     #    the sort, so end(t) == start(t+1).
     bounds = _bounds_by_bisection(tile_sorted, ntiles)
 
     return Binning(
         slot_to_gaussian=gauss_sorted,
         bounds=bounds,
-        dup_offsets=off.astype(jnp.int32),
-        num_keys=jnp.where(wrapped, jnp.int32(2**31 - 1),
-                           num_real).astype(jnp.int32),
+        num_keys=num_keys,
         overflow=overflow,
-        num_slots=num_keys.astype(jnp.int32),
+        num_slots=num_slots,
     )
 
 
@@ -305,6 +329,21 @@ def aligned_capacity(capacity: int, ntiles: int, block: int) -> int:
     return -(-cap_pad // block) * block
 
 
+def _expand(values: jnp.ndarray, starts: jnp.ndarray, in_cap: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Expand per-segment int32 constants to per-slot values.
+
+    Segment i covers slots [starts[i], starts[i+1]); values repeat across
+    each segment. Implemented as delta[starts[i]] += v[i] - v[i-1]; cumsum.
+    Empty segments (duplicate starts) telescope correctly through the
+    scatter-add. Cost: one small scatter (len(values) rows) + one cumsum.
+    """
+    v = values.astype(jnp.int32)
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), v[:-1]])
+    delta = jnp.where(in_cap, v - prev, 0)
+    d = jnp.zeros((capacity,), jnp.int32).at[starts].add(delta, mode="drop")
+    return jnp.cumsum(d)
+
+
 def bin_items_aligned(
     tile_of_item: jnp.ndarray,  # [N] int32 tile id (ntiles = invalid)
     ntiles: int,
@@ -313,7 +352,6 @@ def bin_items_aligned(
 ) -> AlignedBins:
     """Bin items that each touch exactly one tile into block-padded segments."""
     N = tile_of_item.shape[0]
-    k = jnp.arange(capacity, dtype=jnp.int32)
     if capacity < N:
         raise ValueError("capacity must cover all items (one tile per item)")
     tile = jnp.full((capacity,), ntiles, jnp.int32).at[:N].set(tile_of_item)

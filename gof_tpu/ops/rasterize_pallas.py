@@ -25,13 +25,23 @@ TPU-native replacement for renderCUDA forward/backward
   suffix sums by subtraction from the forward totals (replacing the CUDA
   back-to-front re-walk, backward.cu:692-764), and writes 16-column per-visit
   gradient rows COMPACTED into the forward's layout — no atomics, and the
-  ~75% of slots past saturation (exactly-zero rows) are never stored. The
-  quadric chain dL/dSigma -> dL/dM and dL/db -> dL/d(M, u0) is folded into
-  the kernel per-slot (cheap [G]-vector ops), so the reduction runs over 16
-  columns; each compact row's gaussian id rides a separate int32 stream.
+  ~75% of slots past saturation (exactly-zero rows) are never stored; each
+  compact row's gaussian id rides a separate int32 stream.
+- gradient rows are parametrized by the QUADRIC invariants (Sigma = M^T M
+  packed 6, b = M^T u0, uu = u0.u0) — the quantities the blend actually
+  depends on. Their per-pair gradients are pure basis projections
+  (dSigma ~ r r^T terms, db ~ r, duu ~ 1), so ALL of them ride the one
+  per-chunk MXU projection matmul against a 9-row basis
+  [rx, ry, 1, gRGB(3), rx^2, rx*ry, ry^2]; the peak-depth envelope theorem
+  (d(mv)/dt = 0 at t* — the same identity the CUDA backward exploits by
+  differentiating power w.r.t. AA/BB/CC directly, backward.cu:938-952)
+  eliminates every per-pixel d/v gradient chain. The cheap per-GAUSSIAN
+  chain (Sigma, b, uu) -> (M, u0) runs as componentwise XLA outside the
+  kernel (_raster_bwd).
 - densification-stat inputs (conic / mean2d) and outputs (gx, gy, |g|) live
   on separate 8-column aux streams compiled in only while densification
-  runs (with_stats).
+  runs (with_stats); the aux input is gathered directly into the COMPACT
+  layout (live rows only) instead of the full slot layout.
 
 Cotangent semantics replicate the reference's (documented) choices:
 - the depth-distortion gradient flows only through the mapped depth m, not
@@ -73,7 +83,9 @@ C_RGB = 0  # 0:3
 C_OP = 3
 C_M = 4  # 4:13 row-major
 C_U0 = 13  # 13:16
-AUX_COLS = 8  # 0:3 conic | 3:5 mean2d | 5:8 pad
+# stats-phase payload: aux columns ride the same slot gather
+# (16:19 conic | 19:21 mean2d | 21:24 pad)
+PAYLOAD_STATS_COLS = 24
 # stats output rows: 0 gx | 1 gy | 2 |gx|+|gy| | 3:8 pad
 STAT_COLS = 8
 
@@ -100,30 +112,31 @@ def pack_sigma6(M: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def build_payload16(rgb, op_eff, M, u0, binning: Binning) -> jnp.ndarray:
+def build_payload16(rgb, op_eff, M, u0, binning: Binning,
+                    conic=None, mean2d=None) -> jnp.ndarray:
     """Gather per-Gaussian rows into the (tile, depth)-sorted slot layout.
 
     Sentinel slots gather the appended zero row (opacity 0 -> no
-    contribution). The gather runs over 16-column rows (narrow rows keep it
-    on XLA's fast path — wide rows fall off a ~6x cliff) and the result is
-    returned TRANSPOSED, [16, CAP]: Mosaic requires HBM DMA slices to be
-    128-aligned in the lane (last) dimension, so the kernels read
-    [16, CHUNK] windows and transpose on the MXU.
+    contribution). Without conic/mean2d the rows are 16 columns; with them
+    (the densification-stats phase) the SAME gather carries the aux columns
+    inline (conic 16:19, mean2d 19:21, pad to 24) — slot gathers pay a
+    large fixed cost per op, so one 24-column gather beats a 16-column
+    payload gather plus a separate aux gather by ~2x. The result is
+    TRANSPOSED, [cols, CAP]: Mosaic requires HBM DMA slices 128-aligned in
+    the lane (last) dimension, so the kernels read [cols, CHUNK] windows
+    and transpose on the MXU.
     """
     P = rgb.shape[0]
     cap = int(binning.slot_to_gaussian.shape[0])
     assert cap < (1 << 24), f"key capacity {cap} exceeds exact-f32 range"
-    flat = jnp.concatenate([rgb, op_eff[:, None], M.reshape(P, 9), u0], axis=1)
-    flat = jnp.concatenate([flat, jnp.zeros((1, P_COLS), flat.dtype)], axis=0)
-    return flat[binning.slot_to_gaussian].T
-
-
-def build_aux8(conic, mean2d, binning: Binning) -> jnp.ndarray:
-    """Stats-phase aux stream [8, CAP]: conic (0:3), mean2d (3:5)."""
-    P = conic.shape[0]
-    flat = jnp.concatenate(
-        [conic, mean2d, jnp.zeros((P, AUX_COLS - 5), conic.dtype)], axis=1)
-    flat = jnp.concatenate([flat, jnp.zeros((1, AUX_COLS), flat.dtype)], axis=0)
+    cols = [rgb, op_eff[:, None], M.reshape(P, 9), u0]
+    ncols = P_COLS
+    if conic is not None:
+        cols += [conic, mean2d,
+                 jnp.zeros((P, PAYLOAD_STATS_COLS - 21), rgb.dtype)]
+        ncols = PAYLOAD_STATS_COLS
+    flat = jnp.concatenate(cols, axis=1)
+    flat = jnp.concatenate([flat, jnp.zeros((1, ncols), flat.dtype)], axis=0)
     return flat[binning.slot_to_gaussian].T
 
 
@@ -202,18 +215,19 @@ class _ChunkFwd(NamedTuple):
 _GEOM_COLS = (4, 7, 10)
 
 
-def _geometry_basis(R3):
-    """[16, 3*PIX] block-diagonal-ish selection basis: group g holds R3 at
-    payload rows _GEOM_COLS[g]:+3, zeros elsewhere. Built ONCE per tile and
-    reused by every chunk, so the three skinny per-group matmuls collapse to
-    one [G, 16] @ [16, 3*PIX] MXU call per chunk (a skinny MXU issue carries
-    ~1.5 us fixed latency, which dominates at 0.8 MFLOP apiece)."""
+def _geometry_basis(R3, ncols: int = P_COLS):
+    """[ncols, 3*PIX] block-diagonal-ish selection basis: group g holds R3 at
+    payload rows _GEOM_COLS[g]:+3, zeros elsewhere (incl. any aux columns
+    past 16). Built ONCE per tile and reused by every chunk, so the three
+    skinny per-group matmuls collapse to one [G, ncols] @ [ncols, 3*PIX] MXU
+    call per chunk (a skinny MXU issue carries ~1.5 us fixed latency, which
+    dominates at 0.8 MFLOP apiece)."""
     npx = R3.shape[1]
     blocks = []
     for c in _GEOM_COLS:
         blocks.append(jnp.concatenate(
             [jnp.zeros((c, npx), jnp.float32), R3,
-             jnp.zeros((P_COLS - c - 3, npx), jnp.float32)], axis=0))
+             jnp.zeros((ncols - c - 3, npx), jnp.float32)], axis=0))
     return jnp.concatenate(blocks, axis=1)
 
 
@@ -320,8 +334,11 @@ def _fwd_kernel(ntx: int, with_reg: bool, bounds_ref, meta_ref,
     bg0, bg1, bg2 = meta_ref[0, 2], meta_ref[0, 3], meta_ref[0, 4]
 
     def copy_in(c, slot):
+        # the stats-phase payload carries extra aux columns (rows 16:24)
+        # that only the backward reads; the forward streams rows 0:16
         return pltpu.make_async_copy(
-            payload_hbm.at[:, pl.ds(base + c * CHUNK_SIZE, CHUNK_SIZE)],
+            payload_hbm.at[pl.ds(0, P_COLS),
+                           pl.ds(base + c * CHUNK_SIZE, CHUNK_SIZE)],
             pbuf.at[slot],
             sem.at[slot],
         )
@@ -462,10 +479,10 @@ def rasterize_fwd_pallas(payload, binning: Binning, meta_vec, ntx: int, ntiles: 
 def _bwd_kernel(
     ntx: int, halfw: float, halfh: float, with_stats: bool, with_reg: bool,
     compact_cap: int,
-    bounds_ref, live_ref, cstart_ref, meta_ref, payload_hbm, gid_hbm, aux_hbm,
+    bounds_ref, live_ref, cstart_ref, meta_ref, payload_hbm, gid_hbm,
     fout_ref, gout_ref, dslot_init_hbm, gid_init_hbm, stat_init_hbm,
     dslot_hbm, gidc_hbm, stat_hbm,
-    pbuf, gbuf, abuf, dbuf, gwbuf, sbuf, sem, gsem, asem, wsem, gwsem, swsem,
+    pbuf, gbuf, dbuf, gwbuf, sbuf, sem, gsem, wsem, gwsem, swsem,
 ):
     del dslot_init_hbm, gid_init_hbm, stat_init_hbm  # aliased outputs: zeros
     t_id = pl.program_id(0)
@@ -483,8 +500,9 @@ def _bwd_kernel(
     cst = pl.multiple_of(cstart_ref[t_id], CHUNK_SIZE)
     avail = jnp.maximum((compact_cap - cst) // CHUNK_SIZE, 0)
     nc = jnp.minimum(jnp.minimum(nc, live_ref[t_id]), avail)
+    pcols = PAYLOAD_STATS_COLS if with_stats else P_COLS
     rx, ry, R3, px, py = _rays_for_tile(t_id, ntx, meta_ref)
-    basis3 = _geometry_basis(R3)
+    basis3 = _geometry_basis(R3, pcols)
     bg0, bg1, bg2 = meta_ref[0, 2], meta_ref[0, 3], meta_ref[0, 4]
 
     # per-pixel cotangents and forward totals
@@ -528,13 +546,6 @@ def _bwd_kernel(
             gsem.at[slot],
         )
 
-    def aux_in(c, slot):
-        return pltpu.make_async_copy(
-            aux_hbm.at[:, pl.ds(base + c * CHUNK_SIZE, CHUNK_SIZE)],
-            abuf.at[slot],
-            asem.at[slot],
-        )
-
     def copy_out(c, slot):
         return pltpu.make_async_copy(
             dbuf.at[slot],
@@ -560,11 +571,9 @@ def _bwd_kernel(
     def _():
         copy_in(0, 0).start()
         gid_in(0, 0).start()
-        if with_stats:
-            aux_in(0, 0).start()
 
     row_i = jax.lax.broadcasted_iota(jnp.int32, (CHUNK_SIZE, 1), 0)
-    ones_row = jnp.ones((1, NPIX), jnp.float32)
+    stat_blk0 = 8 if with_reg else 5  # first stats block in the projection
 
     def body(carry):
         c, T, PwF = carry
@@ -574,15 +583,10 @@ def _bwd_kernel(
         def _():
             copy_in(c + 1, jax.lax.rem(c + 1, 2)).start()
             gid_in(c + 1, jax.lax.rem(c + 1, 2)).start()
-            if with_stats:
-                aux_in(c + 1, jax.lax.rem(c + 1, 2)).start()
 
         copy_in(c, slot).wait()
         gid_in(c, slot).wait()
-        if with_stats:
-            aux_in(c, slot).wait()
-        pT = pbuf[slot]  # [16, CHUNK]: M rows / u0 as [1, G] vectors
-        p = _transpose_mxu(pT)  # [CHUNK, 16]
+        p = _transpose_mxu(pbuf[slot])  # [pcols, CHUNK] -> [CHUNK, pcols]
 
         grow = base + c * CHUNK_SIZE + row_i
         seg_mask = (grow >= seg_s) & (grow < seg_e)
@@ -606,6 +610,20 @@ def _bwd_kernel(
             T_excl * cutoff * F - (SF + T_fin * bgdot) / one_m_a
         )
 
+        # alpha -> opacity / exponent (clamp ignored, as in the reference)
+        op = p[:, 3:4]
+        dop_pix = f.E * dL_da * f.active
+        dL_dmv = jnp.where(f.active, -0.5 * f.E * op * dL_da, 0.0)
+
+        # Envelope theorem at the ray-Gaussian peak: mv(t*) is the MINIMUM
+        # over t, so d(mv)/dt = 0 and the quadric-invariant gradients are
+        #   d(mv)/duu = 1,  d(mv)/d(ud) = 2 t,  d(mv)/d(dd) = t^2
+        # (ud = b.r, dd = r^T Sigma r) — exactly the reference's analytic
+        # power gradients w.r.t. its cached BB/AA (backward.cu:938-952).
+        # The depth chain t = -ud/dd (distortion + median routing) adds
+        #   dt/d(ud) = -1/dd,  dt/d(dd) = -t/dd.
+        rdd = 1.0 / f.dd
+        s_mv = f.t * dL_dmv
         if with_reg:
             # distortion (through m only) + median depth -> t
             m = _ndc_m(f.t)
@@ -615,8 +633,11 @@ def _bwd_kernel(
             glob_row = (c * CHUNK_SIZE + row_i).astype(jnp.float32)
             is_med = (glob_row == med_idx) & (f.a > 0)
             dL_dt = dL_dm * dm_dt + jnp.where(is_med, g_depth, 0.0)
+            q_t = dL_dt * rdd
+            A_ud = 2.0 * s_mv - q_t
+            A_dd = f.t * (s_mv - q_t)
 
-            # normal channel -> unnormalized normal
+            # normal channel -> unnormalized normal n = Sigma r
             dnh0 = w * g_n0
             dnh1 = w * g_n1
             dnh2 = w * g_n2
@@ -626,109 +647,70 @@ def _bwd_kernel(
             dn1 = (-dnh1 + dot_nh * f.n1 * il2) * f.inv_len
             dn2 = (-dnh2 + dot_nh * f.n2 * il2) * f.inv_len
         else:
-            dL_dt = 0.0
-            dn0 = dn1 = dn2 = 0.0
-
-        # alpha -> opacity / exponent (clamp ignored, as in the reference)
-        op = p[:, 3:4]
-        dL_dE = op * dL_da
-        dop_pix = f.E * dL_da * f.active
-        dL_dmv = -0.5 * f.E * dL_dE
-        dL_dmv = jnp.where(f.active, dL_dmv, 0.0)
-
-        # mv = |v|^2, v = u0 + t d, t = -ud/dd, dd = |d|^2, ud = u0 . d
-        dv0 = 2.0 * f.v0 * dL_dmv
-        dv1 = 2.0 * f.v1 * dL_dmv
-        dv2 = 2.0 * f.v2 * dL_dmv
-        dL_dt_tot = dL_dt + dv0 * f.d0 + dv1 * f.d1 + dv2 * f.d2
-        dd0 = f.t * dv0
-        dd1 = f.t * dv1
-        dd2 = f.t * dv2
-        dL_dud = -dL_dt_tot / f.dd
-        dL_ddd = -dL_dt_tot * f.t / f.dd
-        dn0 = dn0 + dL_ddd * rx
-        dn1 = dn1 + dL_ddd * ry
-        dn2 = dn2 + dL_ddd
+            A_ud = 2.0 * s_mv
+            A_dd = f.t * s_mv
+            dn0 = dn1 = dn2 = None
 
         # densification stats (reference's pseudo-gradient, backward.cu:896-909)
-        # — compiled out after densification ends (with_stats=False)
+        # — compiled out after densification ends (with_stats=False); the aux
+        # inputs ride the payload (columns 16:21)
         if with_stats:
-            aux = _transpose_mxu(abuf[slot])  # [8, CHUNK] -> [CHUNK, 8]
-            ca, cb, cc = aux[:, 0:1], aux[:, 1:2], aux[:, 2:3]
-            dxp = aux[:, 3:4] - (px - 0.5)
-            dyp = aux[:, 4:5] - (py - 0.5)
+            ca, cb, cc = p[:, 16:17], p[:, 17:18], p[:, 18:19]
+            dxp = p[:, 19:20] - (px - 0.5)
+            dyp = p[:, 20:21] - (py - 0.5)
             dL_dG2 = op * dL_da * f.active
             gx = dL_dG2 * (-f.E) * (ca * dxp + cb * dyp) * halfw
             gy = dL_dG2 * (-f.E) * (cb * dxp + cc * dyp) * halfh
 
-        # Reduce over pixels into per-slot gradient rows. All ~12-15
-        # projections (basis [k, PIX] . X [G, PIX] -> [k, G]) are batched
-        # into ONE MXU call: basis rows stack to [7, PIX], the X blocks
-        # stack along the G axis, and each result is a sub-block of the
-        # [7, nb*G] product — a skinny matmul's ~1.5 us fixed latency would
-        # otherwise dominate the backward at ~0.8 MFLOP apiece.
+        # Reduce over pixels into per-slot gradient rows. ALL projections
+        # (basis [9, PIX] . X [G, PIX] -> [9, G]) are batched into ONE MXU
+        # call — a skinny matmul's ~1.5 us fixed latency would otherwise
+        # dominate the backward at ~0.8 MFLOP apiece. Basis rows:
+        # 0 rx | 1 ry | 2 ones | 3:6 gRGB | 6 rx^2 | 7 rx*ry | 8 ry^2.
         Gn = CHUNK_SIZE
-        basis = jnp.concatenate([R3, G_RGB, ones_row], axis=0)  # [7, PIX]
-        rhs = [dd0, dd1, dd2, dn0, dn1, dn2, dL_dud, w, dv0, dv1, dv2, dop_pix]
+        basis = jnp.concatenate(
+            [R3, G_RGB, rx * rx, rx * ry, ry * ry], axis=0)  # [9, PIX]
+        rhs = [A_ud, A_dd, dL_dmv, w, dop_pix]
+        if with_reg:
+            rhs += [dn0, dn1, dn2]
         if with_stats:
             rhs += [gx, gy, jnp.abs(gx) + jnp.abs(gy)]
-        out_all = _dot_nt(basis, jnp.concatenate(rhs, axis=0))  # [7, nb*G]
+        out_all = _dot_nt(basis, jnp.concatenate(rhs, axis=0))  # [9, nb*G]
 
         def blk(i, r0, r1):
             return out_all[r0:r1, i * Gn: (i + 1) * Gn]
 
-        dM0_t = blk(0, 0, 3)  # [3, G] = rows (d/drx, d/dry, d/d1) of dM row 0
-        dM1_t = blk(1, 0, 3)
-        dM2_t = blk(2, 0, 3)
-        dn0_t = blk(3, 0, 3)
-        dn1_t = blk(4, 0, 3)
-        dn2_t = blk(5, 0, 3)
-        db_t = blk(6, 0, 3)
-        drgb_t = blk(7, 3, 6)
-        du0_t = jnp.concatenate([blk(8, 6, 7), blk(9, 6, 7), blk(10, 6, 7)], axis=0)
-        dop_t = blk(11, 6, 7)
-
-        # In-kernel quadric chain (replaces the old per-slot Sigma/b gradient
-        # columns; all [1, G]-wide VPU ops):
-        #   Sigma = M^T M  (dSig packed upper-tri s0..s5):
-        #     dM += M (H),  H = [[2s0, s1, s2], [s1, 2s3, s4], [s2, s4, 2s5]]
-        #   b = M^T u0 (db from the ud projection):
-        #     dM += outer(u0, db),  du0 += M db
-        s0 = dn0_t[0:1]
-        s1 = dn0_t[1:2] + dn1_t[0:1]
-        s2 = dn0_t[2:3] + dn2_t[0:1]
-        s3 = dn1_t[1:2]
-        s4 = dn1_t[2:3] + dn2_t[1:2]
-        s5 = dn2_t[2:3]
-        H = ((2.0 * s0, s1, s2), (s1, 2.0 * s3, s4), (s2, s4, 2.0 * s5))
-
-        def Mrow(a):
-            return (pT[4 + 3 * a: 5 + 3 * a], pT[5 + 3 * a: 6 + 3 * a],
-                    pT[6 + 3 * a: 7 + 3 * a])
-
-        u0v = (pT[13:14], pT[14:15], pT[15:16])
-        dM_rows = []
-        du0_rows = []
-        for a in range(3):
-            Ma = Mrow(a)
-            row = []
-            for bcol in range(3):
-                val = (Ma[0] * H[0][bcol] + Ma[1] * H[1][bcol] + Ma[2] * H[2][bcol]
-                       + u0v[a] * db_t[bcol: bcol + 1])
-                row.append(val)
-            dM_rows.append(jnp.concatenate(row, axis=0))  # [3, G]
-            du0_rows.append(Ma[0] * db_t[0:1] + Ma[1] * db_t[1:2] + Ma[2] * db_t[2:3])
-        dM0_t = dM0_t + dM_rows[0]
-        dM1_t = dM1_t + dM_rows[1]
-        dM2_t = dM2_t + dM_rows[2]
-        du0_t = du0_t + jnp.concatenate(du0_rows, axis=0)
+        db_t = blk(0, 0, 3)  # [3, G]: A_ud projected on (rx, ry, 1)
+        duu_t = blk(2, 2, 3)  # [1, G]: dL_dmv . 1
+        drgb_t = blk(3, 3, 6)
+        dop_t = blk(4, 2, 3)
+        # dd = S00 rx^2 + 2 S01 rx ry + 2 S02 rx + S11 ry^2 + 2 S12 ry + S22
+        s0 = blk(1, 6, 7)
+        s1 = 2.0 * blk(1, 7, 8)
+        s2 = 2.0 * blk(1, 0, 1)
+        s3 = blk(1, 8, 9)
+        s4 = 2.0 * blk(1, 1, 2)
+        s5 = blk(1, 2, 3)
+        if with_reg:
+            # n = Sigma r: dS_ij += dn_i r_j (symmetrized into the packing)
+            dn0_t = blk(5, 0, 3)
+            dn1_t = blk(6, 0, 3)
+            dn2_t = blk(7, 0, 3)
+            s0 = s0 + dn0_t[0:1]
+            s1 = s1 + dn0_t[1:2] + dn1_t[0:1]
+            s2 = s2 + dn0_t[2:3] + dn2_t[0:1]
+            s3 = s3 + dn1_t[1:2]
+            s4 = s4 + dn1_t[2:3] + dn2_t[1:2]
+            s5 = s5 + dn2_t[2:3]
 
         drow_t = jnp.concatenate(
             [
                 drgb_t,  # 0:3
                 dop_t,  # 3
-                dM0_t, dM1_t, dM2_t,  # 4:13
-                du0_t,  # 13:16
+                s0, s1, s2, s3, s4, s5,  # 4:10 dSigma6
+                db_t,  # 10:13
+                duu_t,  # 13
+                jnp.zeros((2, Gn), jnp.float32),  # 14:16 pad
             ],
             axis=0,
         )  # [16, G]
@@ -748,7 +730,8 @@ def _bwd_kernel(
         gid_out(c, wslot).start()
         if with_stats:
             stats_t = jnp.concatenate(
-                [blk(12, 6, 7), blk(13, 6, 7), blk(14, 6, 7),
+                [blk(stat_blk0, 2, 3), blk(stat_blk0 + 1, 2, 3),
+                 blk(stat_blk0 + 2, 2, 3),
                  jnp.zeros((5, Gn), jnp.float32)], axis=0)  # [8, G]
             sbuf[wslot] = stats_t
             stat_out(c, wslot).start()
@@ -774,8 +757,6 @@ def _bwd_kernel(
     def _():
         copy_in(c_end, jax.lax.rem(c_end, 2)).wait()
         gid_in(c_end, jax.lax.rem(c_end, 2)).wait()
-        if with_stats:
-            aux_in(c_end, jax.lax.rem(c_end, 2)).wait()
 
     # drain outstanding writes
     @pl.when(c_end >= 2)
@@ -801,9 +782,12 @@ def compact_capacity_for(capacity: int, ntiles: int) -> int:
 def rasterize_bwd_pallas(
     payload, fout, gout, binning: Binning, meta_vec, ntx: int, ntiles: int,
     halfw: float, halfh: float, interpret=False, with_stats=True, with_reg=True,
-    compact_cap: int = 0, aux_payload=None,
+    compact_cap: int = 0,
 ):
     """Run the backward kernel.
+
+    payload: [16, CAP], or [24, CAP] with the aux columns inline when
+    with_stats (build_payload16 with conic/mean2d).
 
     Returns (dslot [16, compact_cap] f32, gid [compact_cap] int32,
     stats [8, compact_cap] f32 or None): each tile's live (pre-saturation)
@@ -814,6 +798,8 @@ def rasterize_bwd_pallas(
     tighter cap must be guarded by the forward-side demand telemetry.
     """
     cap = payload.shape[1]
+    pcols = PAYLOAD_STATS_COLS if with_stats else P_COLS
+    assert payload.shape[0] == pcols, (payload.shape, with_stats)
     if compact_cap <= 0:
         compact_cap = compact_capacity_for(cap, ntiles)
     # the compact cursor (CH_CSTART) round-trips through f32 fout channels;
@@ -821,11 +807,6 @@ def rasterize_bwd_pallas(
     # silently corrupting compact gradient writes
     assert compact_cap < (1 << 24), (
         f"compact capacity {compact_cap} exceeds exact-f32 cursor range")
-    if with_stats:
-        assert aux_payload is not None, "with_stats requires the aux stream"
-    else:
-        # unused dummy (static python branch keeps it out of the kernel DMAs)
-        aux_payload = jnp.zeros((AUX_COLS, CHUNK_SIZE), jnp.float32)
     live = fout[:, CH_LIVEC, 0].astype(jnp.int32)
     cstart = fout[:, CH_CSTART, 0].astype(jnp.int32)
     gids2d = binning.slot_to_gaussian[None, :]  # [1, CAP] int32
@@ -836,7 +817,6 @@ def rasterize_bwd_pallas(
             pl.BlockSpec((1, 8), lambda t, *s: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # payload
             pl.BlockSpec(memory_space=pl.ANY),  # gid stream
-            pl.BlockSpec(memory_space=pl.ANY),  # aux stream
             pl.BlockSpec((1, OUT_CH, NPIX), lambda t, *s: (t, 0, 0)),
             pl.BlockSpec((1, OUT_CH, NPIX), lambda t, *s: (t, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # dslot init (alias)
@@ -849,13 +829,11 @@ def rasterize_bwd_pallas(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),  # payload in
+            pltpu.VMEM((2, pcols, CHUNK_SIZE), jnp.float32),  # payload in
             pltpu.VMEM((2, 1, CHUNK_SIZE), jnp.int32),  # gid in
-            pltpu.VMEM((2, AUX_COLS, CHUNK_SIZE), jnp.float32),  # aux in
             pltpu.VMEM((2, P_COLS, CHUNK_SIZE), jnp.float32),  # drow out
             pltpu.VMEM((2, 1, CHUNK_SIZE), jnp.int32),  # gid out
             pltpu.VMEM((2, STAT_COLS, CHUNK_SIZE), jnp.float32),  # stats out
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -880,8 +858,8 @@ def rasterize_bwd_pallas(
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        input_output_aliases={9: 0, 10: 1, 11: 2},
-    )(binning.bounds, live, cstart, meta_vec, payload, gids2d, aux_payload,
+        input_output_aliases={8: 0, 9: 1, 10: 2},
+    )(binning.bounds, live, cstart, meta_vec, payload, gids2d,
       fout, gout, dslot_init, gid_init, stat_init)
     return dslot, gidc[0], (stats if with_stats else None)
 
@@ -976,28 +954,55 @@ def _raster_fwd(meta, rgb, op_eff, M, u0, conic, mean2d, carrier,
     # itself carries no id column
     assert P < (1 << 24), f"gaussian pool {P} exceeds exact-f32 id range"
     mv = _meta_vec(focal_x, focal_y, bg, meta.width, meta.height)
-    payload = build_payload16(rgb, op_eff, M, u0, binning)
+    # in the stats phase the aux columns (conic/mean2d) ride the SAME slot
+    # gather as the blend payload (slot gathers pay a large fixed cost per
+    # op); the forward kernel streams only rows 0:16 of the wider table
+    payload = build_payload16(
+        rgb, op_eff, M, u0, binning,
+        conic=conic if meta.with_stats else None,
+        mean2d=mean2d if meta.with_stats else None)
     out = rasterize_fwd_pallas(payload, binning, mv, meta.ntx, meta.ntx * meta.nty,
                                interpret=meta.interpret, with_reg=meta.with_reg)
-    res = (payload, out, binning, mv, conic, mean2d, P)
+    res = (payload, out, binning, mv, M, u0, P)
     return out, res
 
 
 def _raster_bwd(meta, res, gout):
-    payload, fout, binning, mv, conic, mean2d, P = res
-    aux = build_aux8(conic, mean2d, binning) if meta.with_stats else None
+    payload, fout, binning, mv, M, u0, P = res
+    ntiles = meta.ntx * meta.nty
+    ccap = meta.compact_cap or compact_capacity_for(payload.shape[1], ntiles)
     dslot, gidc, stats = rasterize_bwd_pallas(
-        payload, fout, gout, binning, mv, meta.ntx, meta.ntx * meta.nty,
+        payload, fout, gout, binning, mv, meta.ntx, ntiles,
         meta.width / 2.0, meta.height / 2.0, interpret=meta.interpret,
         with_stats=meta.with_stats, with_reg=meta.with_reg,
-        compact_cap=meta.compact_cap, aux_payload=aux,
+        compact_cap=ccap,
     )
     per_g, per_s = reduce_compact_rows(dslot, gidc, stats, P,
                                        interpret=meta.interpret)
     drgb = per_g[:, 0:3]
     dop = per_g[:, 3]
-    dM = per_g[:, 4:13].reshape(P, 3, 3)
-    du0 = per_g[:, 13:16]
+    # Per-gaussian chain from the quadric invariants back to the factored
+    # form (the analog of computeView2Gaussian_backward, backward.cu:380-587,
+    # collapsed to ~30 componentwise ops):
+    #   Sigma = M^T M:  dM_ab += sum_k M_ak H_kb,
+    #     H = [[2 s0, s1, s2], [s1, 2 s3, s4], [s2, s4, 2 s5]]
+    #   b = M^T u0:     dM_ab += u0_a db_b,   du0 += M db
+    #   uu = u0 . u0:   du0 += 2 duu u0
+    sp = [per_g[:, 4 + i] for i in range(6)]
+    db = [per_g[:, 10 + i] for i in range(3)]
+    duu = per_g[:, 13]
+    H = ((2.0 * sp[0], sp[1], sp[2]),
+         (sp[1], 2.0 * sp[3], sp[4]),
+         (sp[2], sp[4], 2.0 * sp[5]))
+    Mc = [[M[:, a, k] for k in range(3)] for a in range(3)]
+    dM = jnp.stack(
+        [jnp.stack(
+            [Mc[a][0] * H[0][bc] + Mc[a][1] * H[1][bc] + Mc[a][2] * H[2][bc]
+             + u0[:, a] * db[bc] for bc in range(3)], axis=-1)
+         for a in range(3)], axis=-2)
+    du0 = jnp.stack(
+        [Mc[a][0] * db[0] + Mc[a][1] * db[1] + Mc[a][2] * db[2]
+         + 2.0 * duu * u0[:, a] for a in range(3)], axis=-1)
     dcarrier = per_s if per_s is not None else jnp.zeros((P, 3), jnp.float32)
     zconic = jnp.zeros((P, 3), jnp.float32)
     zmean2d = jnp.zeros((P, 2), jnp.float32)

@@ -43,13 +43,6 @@ def build_payload(rgb, op_eff, M, u0, binning: Binning) -> jnp.ndarray:
     return flat[binning.slot_to_gaussian]
 
 
-def build_aux_payload(conic, mean2d, binning: Binning) -> jnp.ndarray:
-    P = conic.shape[0]
-    flat = jnp.concatenate([conic, mean2d, jnp.zeros((P, AUX_COLS - 5), conic.dtype)], axis=1)
-    flat = jnp.concatenate([flat, jnp.zeros((1, AUX_COLS), flat.dtype)], axis=0)
-    return flat[binning.slot_to_gaussian]
-
-
 def tile_rays(ntx: int, nty: int, width: int, height: int, focal_x, focal_y):
     """Per-tile pixel ray slopes, [NTILES, TILE_PIXELS].
 

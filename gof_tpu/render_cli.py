@@ -40,6 +40,8 @@ def render_set(scene, tp, gstate, model_cfg, pipe, bg, split: str, cams, iterati
 
 
 def main(argv=None):
+    from gof_tpu.utils import compile_cache
+    compile_cache.enable()
     import jax
 
     from . import config as config_lib

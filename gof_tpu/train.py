@@ -550,6 +550,24 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
         n_inner = 1
     n_inner = max(n_inner, 1)
 
+    specials = sorted(set(
+        int(i) for i in list(test_iterations) + list(save_iterations)
+        + list(checkpoint_iterations)))
+
+    def late_window(at_iter: int) -> int:
+        """Dispatch window once densification-era host controls are done:
+        the only remaining cadences are the 100-step filter refresh, the
+        sparse eval/save/checkpoint iterations, and the optional debug-image
+        dump — so the scan window can grow to 100 (one host dispatch per
+        100 steps instead of 10)."""
+        n = _math.gcd(100, at_iter) if at_iter else 100
+        for s in specials + [opt.iterations]:
+            if s > at_iter:
+                n = _math.gcd(n, s)
+        if debug_image_interval:
+            n = _math.gcd(n, debug_image_interval)
+        return max(n, 1)
+
     def rebuild_step():
         return build_train_step(opt, model_cfg, pipe, tx, interpret=interpret,
                                 with_stats=with_stats, with_reg=with_reg,
@@ -609,7 +627,20 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    for iteration in range(first_iter + n_inner, opt.iterations + 1, n_inner):
+    iteration = first_iter
+    while iteration < opt.iterations:
+        # Widen the dispatch window once every densification-era host
+        # control (densify/100, opacity reset/3000, phase flips) is behind
+        # us: the remaining cadences (filter refresh/100, sparse eval/save)
+        # allow ~100-step scan windows, cutting per-dispatch host overhead
+        # 10x for the back half of training.
+        if (n_inner > 1 and iteration >= opt.densify_until_iter
+                and iteration + 1 >= reg_start
+                and late_window(iteration) > n_inner
+                and iteration % 100 == 0):
+            n_inner = late_window(iteration)
+            train_step = None  # rebuilt below after phase flips
+        iteration += n_inner
         # `iteration` is the END of the current n_inner-step window (== the
         # iteration itself when n_inner == 1); every cadence below lands on
         # a window boundary by construction of n_inner.
@@ -618,13 +649,15 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
         # compiled out of the backward kernel
         if with_stats and win_start > opt.densify_until_iter:
             with_stats = False
-            train_step = rebuild_step()
+            train_step = None
         # once a regularizer activates, its channels are compiled back in;
         # the flip covers the whole window CONTAINING reg_start (the step at
         # reg_start applies nonzero weights; earlier steps in the window
         # compute the channels with zero lambda, which is exact)
         if not with_reg and iteration >= reg_start:
             with_reg = True
+            train_step = None
+        if train_step is None:
             train_step = rebuild_step()
 
         def next_id():
@@ -715,7 +748,7 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
                 # payload gather, gradient reduce) scales with this static
                 # size, so overshoot is paid on every subsequent step.
                 need = int(m_keys)
-                new_cap = max(int(need * 1.3), int(pipe.key_capacity * 1.25))
+                new_cap = max(int(need * 1.2), int(pipe.key_capacity * 1.25))
                 pipe.key_capacity = -(-new_cap // 65536) * 65536
                 rebuild = True
                 if not quiet:
@@ -729,7 +762,7 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
             compact_peak = max(compact_peak, int(m_cdem))
             if m_cov:
                 need = int(m_cdem)
-                new_cc = max(int(need * 1.3), int(max(pipe.compact_capacity, 1) * 1.25))
+                new_cc = max(int(need * 1.25), int(max(pipe.compact_capacity, 1) * 1.25))
                 pipe.compact_capacity = -(-new_cc // 65536) * 65536
                 rebuild = True
                 if not quiet:
@@ -738,7 +771,7 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
             elif rebuild:
                 # re-jitting anyway (key growth): re-fit the compact buffer
                 # to 1.5x peak demand (opacity resets spike it transiently)
-                pipe.compact_capacity = -(-max(int(compact_peak * 1.5), 65536)
+                pipe.compact_capacity = -(-max(int(compact_peak * 1.35), 65536)
                                           // 65536) * 65536
             key_peak = max(key_peak, int(m_keys))
             if not rebuild and iteration % 500 == 0:
@@ -748,12 +781,12 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
                 # shrinkage) is pure waste. Only act on >1.5x slack to avoid
                 # re-jit thrash; overflow handling above grows it back.
                 align = lambda v, lo: -(-max(int(v), lo) // 65536) * 65536
-                want_kc = align(key_peak * 1.3, 131072)
+                want_kc = align(key_peak * 1.15, 131072)
                 cc_eff = pipe.compact_capacity or (
                     pipe.key_capacity + ntiles_max * 128)
-                want_cc = align(compact_peak * 1.5, 65536)
-                if (want_kc * 1.5 < pipe.key_capacity
-                        or want_cc * 1.5 < cc_eff):
+                want_cc = align(compact_peak * 1.35, 65536)
+                if (want_kc * 1.3 < pipe.key_capacity
+                        or want_cc * 1.3 < cc_eff):
                     pipe.key_capacity = min(want_kc, pipe.key_capacity)
                     pipe.compact_capacity = min(want_cc, cc_eff)
                     rebuild = True
@@ -921,6 +954,8 @@ def load_checkpoint(path):
 
 
 def main(argv=None):
+    from gof_tpu.utils import compile_cache
+    compile_cache.enable()
     import argparse
 
     parser = argparse.ArgumentParser(description="gof_tpu training")

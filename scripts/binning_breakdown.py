@@ -1,6 +1,8 @@
-"""Internal timing of bin_gaussians stages at training scale (current
-unaligned-segment pipeline: fused delta-scatter expansion -> (tile, depth)
-2-key sort carrying the gaussian id -> bisection bounds)."""
+"""Internal timing of bin_gaussians stages at a chosen scale (class-stride
+expansion: padded-size ladder -> [P] class sort -> closed-form slot owner +
+one [CAP] attrs gather -> (tile, depth, id) 3-key sort -> bisection bounds).
+"""
+import argparse
 import time
 
 import os as _os, sys as _sys
@@ -13,16 +15,25 @@ from gof_tpu import cameras
 from gof_tpu.ops import binning, quadrics
 from gof_tpu.sh import rgb_to_sh_dc
 
-N = 100_000
+ap = argparse.ArgumentParser()
+ap.add_argument("--gaussians", type=int, default=1_000_000)
+ap.add_argument("--capacity", type=int, default=4_194_304)
+ap.add_argument("--sigma", type=float, default=-4.3)
+ap.add_argument("--cpu", action="store_true")
+args = ap.parse_args()
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
+N = args.gaussians
 W, H = 1237, 822
-CAPACITY = 1_638_400
-REPS = 30
+CAPACITY = args.capacity
+REPS = 20
 
 rng = np.random.default_rng(0)
 z = rng.uniform(2, 12, N)
 means = jnp.asarray(np.stack([rng.uniform(-1, 1, N) * z * 0.45,
                               rng.uniform(-1, 1, N) * z * 0.3, z], -1), jnp.float32)
-scales = jnp.asarray(np.exp(rng.normal(-3.2, 0.5, (N, 3))), jnp.float32)
+scales = jnp.asarray(np.exp(rng.normal(args.sigma, 0.5, (N, 3))), jnp.float32)
 q = rng.normal(size=(N, 4)); q /= np.linalg.norm(q, axis=-1, keepdims=True)
 rots = jnp.asarray(q, jnp.float32)
 shs_rgb = jnp.asarray(rng.uniform(0, 1, (N, 3)), jnp.float32)
@@ -43,60 +54,74 @@ def setup(means, scales, rots, shs_rgb):
 
 depth, rects = setup(means, scales, rots, shs_rgb)
 jax.block_until_ready(depth)
+b0 = jax.jit(lambda d, r: binning.bin_gaussians(d, r, ntx, nty, CAPACITY))(
+    depth, rects)
+print(f"num_keys={int(b0.num_keys)} num_slots={int(b0.num_slots)} "
+      f"capacity={CAPACITY} overflow={bool(b0.overflow)}")
 
 
-def t(name, fn, *args, reps=REPS):
+def t(name, fn, args_list, scalar_of, reps=REPS):
     f = jax.jit(fn)
-    jax.block_until_ready(f(*args))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = f(*args)
-    jax.block_until_ready(out)
-    print(f"{name:48s} {(time.perf_counter()-t0)/reps*1e3:8.2f} ms", flush=True)
+    o = f(*args_list[0])
+    _ = np.asarray(scalar_of(o))
+
+    def run(n):
+        t0 = time.perf_counter()
+        for i in range(n):
+            o = f(*args_list[i % len(args_list)])
+        _ = np.asarray(scalar_of(o))
+        return time.perf_counter() - t0
+
+    run(1)
+    d2 = run(2)
+    d10 = run(reps)
+    per = (d10 - d2) / (reps - 2)
+    print(f"{name:48s} {per*1e3:8.2f} ms", flush=True)
+    return per
 
 
-t("full bin_gaussians", lambda d, r: binning.bin_gaussians(
-    d, r, ntx, nty, CAPACITY).slot_to_gaussian, depth, rects)
+depths = [depth, depth * 0.999, depth * 1.001]
 
-P = N
+t("full bin_gaussians", lambda d: binning.bin_gaussians(
+    d, rects, ntx, nty, CAPACITY).slot_to_gaussian, [(d,) for d in depths],
+  lambda o: o[0])
+
+# stage isolation: class sort over [P]
 counts = (rects.w * rects.h).astype(jnp.int32)
-off = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
-starts = jnp.clip(off[:-1], 0, CAPACITY - 1).astype(jnp.int32)
-in_cap = off[:-1] < CAPACITY
+sizes = binning.class_sizes(ntiles)
+gid = jnp.arange(N, dtype=jnp.int32)
 
 
-def expand6(d):
-    cols = jnp.stack([
-        off[:-1], jnp.arange(P, dtype=jnp.int32), rects.w.astype(jnp.int32),
-        rects.x0.astype(jnp.int32), rects.y0.astype(jnp.int32),
-        jax.lax.bitcast_convert_type(d.astype(jnp.float32), jnp.int32),
-    ], axis=1)
-    prev = jnp.concatenate([jnp.zeros((1, 6), jnp.int32), cols[:-1]], axis=0)
-    delta = jnp.where(in_cap[:, None], cols - prev, 0)
-    dd = jnp.zeros((CAPACITY, 6), jnp.int32).at[starts].add(
-        delta, mode="drop", indices_are_sorted=True)
-    return jnp.cumsum(dd, axis=0)
+def padded_of(c):
+    padded = jnp.full_like(c, sizes[-1])
+    for s in reversed(sizes[:-1]):
+        padded = jnp.where(c <= s, s, padded)
+    return jnp.where(c > 0, padded, 0)
 
 
-t("A: fused 6-col delta-scatter + [CAP,6] cumsum", expand6, depth)
+t("A: padded-size ladder (elementwise [P])", padded_of,
+  [(counts,), (counts + 0,), (counts * 1,)], lambda o: o[0])
 
-exp = jax.jit(expand6)(depth)
+padded = jax.jit(padded_of)(counts)
+t("B: [P] class sort", lambda p: jax.lax.sort((p, gid), num_keys=1,
+                                              is_stable=True)[1],
+  [(padded,)] * 3, lambda o: o[0])
+
 k = jnp.arange(CAPACITY, dtype=jnp.int32)
-num_keys = off[-1]
-dup_valid = k < num_keys
-off_exp, gid = exp[:, 0], exp[:, 1]
-rw = jnp.maximum(exp[:, 2], 1)
-j = k - off_exp
-tile = (exp[:, 4] + j // rw) * ntx + exp[:, 3] + j % rw
-tile = jnp.where(dup_valid, tile, ntiles)
-depth_bits = exp[:, 5]
+gidx_demo = jnp.minimum(k // 3, N - 1)
+tbl = jnp.stack([counts, counts, counts, gid], 1)
+t("C: [CAP, 4] attrs gather", lambda g: tbl[g], [(gidx_demo,)] * 3,
+  lambda o: o[0, 0])
 
-t("B: (tile, depth) 2-key sort + carried gid",
-  lambda tl: jax.lax.sort((tl, depth_bits, jnp.where(dup_valid, gid, P)),
-                          num_keys=2, is_stable=False)[2], tile)
+tile_demo = jnp.asarray(rng.integers(0, ntiles + 1, CAPACITY), jnp.int32)
+depth_demo = jnp.asarray(rng.integers(0, 2**30, CAPACITY), jnp.int32)
+gid_demo = jnp.asarray(rng.integers(0, N, CAPACITY), jnp.int32)
+t("D: (tile, depth, id) 3-key sort [CAP]",
+  lambda tl: jax.lax.sort((tl, depth_demo, gid_demo), num_keys=3,
+                          is_stable=False)[2], [(tile_demo,)] * 3,
+  lambda o: o[0])
 
-tile_sorted = jax.lax.sort((tile, depth_bits, jnp.where(dup_valid, gid, P)),
-                           num_keys=2, is_stable=False)[0]
-
-t("C: bisection bounds [NTILES+1]",
-  lambda ts: binning._bounds_by_bisection(ts, ntiles), tile_sorted)
+ts = jax.lax.sort((tile_demo,), num_keys=1)[0]
+t("E: bisection bounds [NTILES+1]",
+  lambda x: binning._bounds_by_bisection(x, ntiles), [(ts,)] * 3,
+  lambda o: o[0])

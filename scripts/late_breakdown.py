@@ -56,13 +56,12 @@ def setup(means, scales, rots, opac, shs_rgb):
     b = binning.bin_gaussians(pre.depth, rects, ntx, nty, CAPACITY)
     op_eff = opac * jnp.where(pre.valid, pre.coef, 0.0)
     payload = rp.build_payload16(pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, b)
-    aux = rp.build_aux8(pre.conic, pre.mean2d, b)
     mv = rp._meta_vec(cam.focal_x, cam.focal_y, bg, W, H)
-    return pre, rects, b, op_eff, payload, aux, mv
+    return pre, rects, b, op_eff, payload, mv
 
 
-pre, rects, b, op_eff, payload, aux, mv = setup(means, scales, rots, opac,
-                                                jnp.asarray(shs_np))
+pre, rects, b, op_eff, payload, mv = setup(means, scales, rots, opac,
+                                           jnp.asarray(shs_np))
 NK = int(b.num_keys)
 print(f"num_keys={NK} capacity={CAPACITY} overflow={bool(b.overflow)}")
 COMPACT = args.compact_cap or -(-int(NK * 0.27) // 65536) * 65536
@@ -107,10 +106,6 @@ t("build_payload16 (gather)", lambda r, oe, p, bb: rp.build_payload16(
     r, oe, p.v2g_M, p.v2g_u0, bb),
     [(r, op_eff, pre, b) for r in rgbs], lambda o: o[0, 0])
 
-t("build_aux8 (gather)", lambda c, m2, bb: rp.build_aux8(c, m2, bb),
-    [(pre.conic * f, pre.mean2d, b) for f in (1.0, 0.99, 1.01)],
-    lambda o: o[0, 0])
-
 payloads = [payload, payload * 0.999, payload * 1.001]
 t("pallas forward kernel", lambda p, bb, m: rp.rasterize_fwd_pallas(
     p, bb, m, ntx, ntiles), [(p, b, mv) for p in payloads],
@@ -120,19 +115,27 @@ fout = jax.jit(lambda p, bb, m: rp.rasterize_fwd_pallas(p, bb, m, ntx, ntiles))(
     payload, b, mv)
 gout = jnp.ones_like(fout)
 
-t("bwd kernel (stats)", lambda p, f, g, bb, m, a: rp.rasterize_bwd_pallas(
-    p, f, g, bb, m, ntx, ntiles, W / 2.0, H / 2.0, compact_cap=COMPACT,
-    aux_payload=a)[0],
-    [(p, fout, gout, b, mv, aux) for p in payloads], lambda o: o[0, 0])
+t("build_payload24 (stats gather)", lambda r, oe, p, bb: rp.build_payload16(
+    r, oe, p.v2g_M, p.v2g_u0, bb, conic=p.conic, mean2d=p.mean2d),
+    [(r, op_eff, pre, b) for r in rgbs], lambda o: o[0, 0])
+
+payload24 = jax.jit(lambda r, oe, p, bb: rp.build_payload16(
+    r, oe, p.v2g_M, p.v2g_u0, bb, conic=p.conic, mean2d=p.mean2d))(
+    pre.rgb, op_eff, pre, b)
+payloads24 = [payload24, payload24 * 0.999, payload24 * 1.001]
+
+t("bwd kernel (stats)", lambda p, f, g, bb, m: rp.rasterize_bwd_pallas(
+    p, f, g, bb, m, ntx, ntiles, W / 2.0, H / 2.0, compact_cap=COMPACT)[0],
+    [(p, fout, gout, b, mv) for p in payloads24], lambda o: o[0, 0])
 
 t("bwd kernel (reg, no stats)", lambda p, f, g, bb, m: rp.rasterize_bwd_pallas(
     p, f, g, bb, m, ntx, ntiles, W / 2.0, H / 2.0, compact_cap=COMPACT,
     with_stats=False)[0],
     [(p, fout, gout, b, mv) for p in payloads], lambda o: o[0, 0])
 
-dslot, gidc, stats = jax.jit(lambda p, f, g, bb, m, a: rp.rasterize_bwd_pallas(
-    p, f, g, bb, m, ntx, ntiles, W / 2.0, H / 2.0, compact_cap=COMPACT,
-    aux_payload=a))(payload, fout, gout, b, mv, aux)
+dslot, gidc, stats = jax.jit(lambda p, f, g, bb, m: rp.rasterize_bwd_pallas(
+    p, f, g, bb, m, ntx, ntiles, W / 2.0, H / 2.0, compact_cap=COMPACT))(
+    payload24, fout, gout, b, mv)
 
 dslots = [dslot, dslot * 0.999, dslot * 1.001]
 t("reduce (segment_sum 16+8)", lambda d, g, s: rp.reduce_compact_rows(

@@ -1,6 +1,7 @@
 """First thing to run when the TPU tunnel is back: compile + execute the
-new Pallas kernels (expand, sorted reduce) on real hardware at small and
-production shapes, verifying against their XLA-equivalent paths.
+Pallas kernels (sorted reduce) and the class-stride binning on real
+hardware at small and production shapes, verifying against their
+XLA-equivalent paths.
 
 Interpret mode does NOT catch Mosaic lowering constraints (sublane
 multiples, DMA alignment, layout changes) — this does.
@@ -39,7 +40,7 @@ def main():
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
 
-    # --- expand kernel vs XLA chain (small + large) ---
+    # --- class-stride binning: TPU vs CPU-evaluated reference semantics ---
     for n, ntx, nty, cap in ((3000, 10, 8, 8192), (500_000, 39, 26, 2_097_152)):
         mean2d = jnp.asarray(rng.uniform(-20, 1200, (n, 2)), jnp.float32)
         radius = jnp.asarray(rng.uniform(1, 60, n), jnp.float32)
@@ -48,14 +49,12 @@ def main():
         rects = binning.gaussian_rects(mean2d, radius, valid, ntx, nty)
 
         def kern(d, r=rects, ntx=ntx, nty=nty, cap=cap):
-            b = binning.bin_gaussians(d, r, ntx, nty, cap, use_expand_kernel=True)
+            b = binning.bin_gaussians(d, r, ntx, nty, cap)
             return b.slot_to_gaussian, b.bounds, b.num_slots, b.overflow
 
-        def ref(d, r=rects, ntx=ntx, nty=nty, cap=cap):
-            b = binning.bin_gaussians(d, r, ntx, nty, cap, use_expand_kernel=False)
-            return b.slot_to_gaussian, b.bounds, b.num_slots, b.overflow
-
-        check(f"expand kernel n={n} cap={cap}", kern, jax.jit(ref), (depth,))
+        with jax.default_device(jax.devices("cpu")[0]):
+            ref_out = jax.tree.map(np.asarray, jax.jit(kern)(depth))
+        check(f"binning n={n} cap={cap}", kern, lambda d: ref_out, (depth,))
 
     # --- sorted windowed reduce vs segment_sum ---
     for R, P in ((65_536, 100_000), (917_504, 1_000_000)):

@@ -86,21 +86,67 @@ class TestBinning:
         assert np.all(s2g[ends[-1]:] == P)
         assert np.all(s2g[: ends[-1]] < P)
 
-    def test_dup_offsets(self, rng):
+    def test_key_counts(self, rng):
         means, scales, rots, opac, shs, cam = make_scene(rng, n=50)
         pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
         ntx, nty = binning.tile_grid(cam.width, cam.height)
         rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
         b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=4096)
-        off = np.asarray(b.dup_offsets)
         counts = np.asarray(rects.w) * np.asarray(rects.h)
-        np.testing.assert_array_equal(np.diff(off), counts)
-        assert off[-1] == int(b.num_keys)
+        assert int(b.num_keys) == counts.sum()
+        # class-padded demand: per-gaussian counts rounded up the size ladder
+        sizes = np.asarray(binning.class_sizes(ntx * nty))
+        padded = sizes[np.searchsorted(sizes, counts)]
+        assert int(b.num_slots) == padded[counts > 0].sum()
+        assert int(b.num_slots) >= int(b.num_keys)
         # each gaussian appears exactly counts[g] times in the sorted list
         s2g = np.asarray(b.slot_to_gaussian)
         P = means.shape[0]
         got_counts = np.bincount(s2g[s2g < P], minlength=P)
         np.testing.assert_array_equal(got_counts, counts)
+
+    def test_tie_order_is_gaussian_id(self, rng):
+        """Bitwise-equal depths in one tile (post-clone state) must blend in
+        original gaussian-id order — cub's stable radix tie behavior
+        (rasterizer_impl.cu:355-363), reproduced here by the explicit id
+        sort key."""
+        n = 64
+        ntx, nty = 3, 3
+        mean2d = jnp.asarray(np.tile(rng.uniform(10, 80, (8, 2)), (8, 1)), jnp.float32)
+        radius = jnp.full((n,), 24.0)
+        depth = jnp.asarray(np.tile([3.0, 3.0, 5.0, 5.0], 16), jnp.float32)
+        rects = binning.gaussian_rects(mean2d, radius, jnp.ones(n, bool), ntx, nty)
+        b = binning.bin_gaussians(depth, rects, ntx, nty, capacity=2048)
+        assert not bool(b.overflow)
+        s2g = np.asarray(b.slot_to_gaussian)
+        d = np.asarray(depth)
+        starts = np.asarray(b.bounds[:-1])
+        ends = np.asarray(b.bounds[1:])
+        for t in range(ntx * nty):
+            seg = s2g[starts[t]:ends[t]]
+            dt = d[seg]
+            assert np.all(dt[1:] >= dt[:-1])
+            for k in range(1, len(seg)):  # equal depth -> ascending id
+                if dt[k] == dt[k - 1]:
+                    assert seg[k] > seg[k - 1]
+
+    def test_giant_rect_class(self, rng):
+        """Counts past EXACT_MAX land in power-of-two classes; the padded
+        slots must stay dead (sentinel) and the real keys complete."""
+        n = 5
+        ntx, nty = 16, 16
+        mean2d = jnp.asarray(rng.uniform(100, 400, (n, 2)), jnp.float32)
+        radius = jnp.asarray([400.0, 300.0, 8.0, 60.0, 200.0], jnp.float32)
+        depth = jnp.asarray(rng.uniform(1, 10, n), jnp.float32)
+        rects = binning.gaussian_rects(mean2d, radius, jnp.ones(n, bool), ntx, nty)
+        counts = np.asarray(rects.w) * np.asarray(rects.h)
+        assert counts.max() > binning.EXACT_MAX  # exercises the pow2 ladder
+        b = binning.bin_gaussians(depth, rects, ntx, nty, capacity=4096)
+        assert not bool(b.overflow)
+        s2g = np.asarray(b.slot_to_gaussian)
+        got = np.bincount(s2g[s2g < n], minlength=n)
+        np.testing.assert_array_equal(got, counts)
+        assert int(b.bounds[-1]) == counts.sum()
 
     def test_reduce_per_gaussian(self, rng):
         means, scales, rots, opac, shs, cam = make_scene(rng, n=50)
@@ -225,78 +271,3 @@ class TestTiledRenderer:
         diff = np.abs(np.asarray(img_tiled[:3]) - np.asarray(ref.image[:3]))
         assert diff.max() < 0.05
         assert diff.mean() < 2e-3
-
-
-class TestExpandKernel:
-    """The sliding-window Pallas expansion (ops/expand.py) must reproduce
-    the XLA scatter+cumsum+gather chain bit-for-bit (interpret mode)."""
-
-    def _compare(self, depth, rects, ntx, nty, capacity):
-        a = binning.bin_gaussians(depth, rects, ntx, nty, capacity,
-                                  use_expand_kernel=False)
-        b = binning.bin_gaussians(depth, rects, ntx, nty, capacity,
-                                  use_expand_kernel=True, interpret=True)
-        np.testing.assert_array_equal(np.asarray(a.num_keys), np.asarray(b.num_keys))
-        np.testing.assert_array_equal(np.asarray(a.num_slots), np.asarray(b.num_slots))
-        np.testing.assert_array_equal(np.asarray(a.overflow), np.asarray(b.overflow))
-        np.testing.assert_array_equal(np.asarray(a.bounds), np.asarray(b.bounds))
-        np.testing.assert_array_equal(
-            np.asarray(a.slot_to_gaussian), np.asarray(b.slot_to_gaussian))
-
-    def test_random_scene_matches_xla(self, rng):
-        n = 700
-        ntx, nty = 6, 5
-        mean2d = jnp.asarray(rng.uniform(-20, 200, (n, 2)), jnp.float32)
-        radius = jnp.asarray(rng.uniform(1, 40, n), jnp.float32)
-        valid = jnp.asarray(rng.random(n) > 0.15)
-        depth = jnp.asarray(rng.uniform(0.5, 30, n), jnp.float32)
-        rects = binning.gaussian_rects(mean2d, radius, valid, ntx, nty)
-        self._compare(depth, rects, ntx, nty, 8192)
-
-    def test_overflow_and_partial_drop(self, rng):
-        """capacity inside the key list: surplus keys of the highest-offset
-        gaussians drop identically in both paths."""
-        n = 300
-        ntx, nty = 8, 8
-        mean2d = jnp.asarray(rng.uniform(0, 250, (n, 2)), jnp.float32)
-        radius = jnp.asarray(rng.uniform(10, 80, n), jnp.float32)
-        valid = jnp.ones(n, bool)
-        depth = jnp.asarray(rng.uniform(0.5, 30, n), jnp.float32)
-        rects = binning.gaussian_rects(mean2d, radius, valid, ntx, nty)
-        self._compare(depth, rects, ntx, nty, 1024)  # far under demand
-
-    def test_empty_and_single(self, rng):
-        ntx, nty = 4, 4
-        depth = jnp.asarray([5.0, 7.0], jnp.float32)
-        mean2d = jnp.asarray([[40.0, 40.0], [90.0, 70.0]], jnp.float32)
-        # nothing valid
-        rects0 = binning.gaussian_rects(mean2d, jnp.asarray([5.0, 5.0]),
-                                        jnp.zeros(2, bool), ntx, nty)
-        self._compare(depth, rects0, ntx, nty, 256)
-        # one valid gaussian covering several tiles
-        rects1 = binning.gaussian_rects(mean2d, jnp.asarray([50.0, 0.0]),
-                                        jnp.asarray([True, False]), ntx, nty)
-        self._compare(depth, rects1, ntx, nty, 256)
-
-    def test_depth_tie_order_matches(self, rng):
-        """Bitwise-equal depths in one tile (post-clone state): stable tie
-        order must match the XLA path."""
-        n = 64
-        ntx, nty = 3, 3
-        mean2d = jnp.asarray(np.tile(rng.uniform(10, 80, (8, 2)), (8, 1)), jnp.float32)
-        radius = jnp.full((n,), 24.0)
-        depth = jnp.asarray(np.tile([3.0, 3.0, 5.0, 5.0], 16), jnp.float32)
-        rects = binning.gaussian_rects(mean2d, radius, jnp.ones(n, bool), ntx, nty)
-        self._compare(depth, rects, ntx, nty, 2048)
-
-    def test_window_slide_stress(self, rng):
-        """Many tiny-count gaussians force repeated window slides (> 2048
-        gaussians per 1024-slot span)."""
-        n = 6000
-        ntx, nty = 10, 8
-        mean2d = jnp.asarray(rng.uniform(0, 300, (n, 2)), jnp.float32)
-        radius = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)  # ~1 tile
-        valid = jnp.asarray(rng.random(n) > 0.5)  # half empty -> id jumps
-        depth = jnp.asarray(rng.uniform(0.5, 30, n), jnp.float32)
-        rects = binning.gaussian_rects(mean2d, radius, valid, ntx, nty)
-        self._compare(depth, rects, ntx, nty, 8192)

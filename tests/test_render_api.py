@@ -53,9 +53,10 @@ class TestRenderAPI:
         out = render_lib.render(cam, means, scales, rots, opac, shs, 0, 0.1, bg,
                                 active_mask=mask, capacity=2048, backend="xla")
         np.testing.assert_allclose(np.asarray(out.image[:3]), 0.0, atol=1e-7)
-        # num_keys is the capacity DEMAND: one dead slot per culled gaussian,
-        # zero real keys
-        assert int(out.num_keys) == 16
+        # masked-out gaussians contribute zero capacity demand (the class-
+        # stride binning assigns culled gaussians no slots at all)
+        assert int(out.num_keys) == 0
+        assert not bool(out.overflow)
 
     @pytest.mark.slow
 
