@@ -45,6 +45,12 @@ class ModelParams:
 class PipelineParams:
     # backend selection replaces the reference's python-fallback switches
     backend: str = "pallas"  # 'pallas' | 'xla'
+    # failure forensics (the reference's debug snapshot dumps + CHECK_CUDA,
+    # dgr/__init__.py:89-96 / auxiliary.h:204-211): every metrics readback
+    # checks the loss for non-finite values and, on failure, dumps the full
+    # render inputs (gaussian params, optimizer/densification state, camera,
+    # capacity telemetry) to <model>/debug/snapshot_iterNNNNNN.npz before
+    # aborting, so the failing step is exactly reproducible offline.
     debug: bool = False
     # static duplicated-key capacity; host grows + re-jits on overflow
     key_capacity: int = 1 << 21

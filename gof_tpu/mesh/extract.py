@@ -155,7 +155,8 @@ class FieldEvaluator:
                 )
                 rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid,
                                                ntx, nty, radius_xy=pre.radius_xy)
-                b = binning.bin_gaussians(pre.depth, rects, ntx, nty, kcap)
+                b = binning.bin_gaussians(pre.depth, rects, ntx, nty, kcap,
+                                          mean2d=pre.mean2d, radius=pre.radius)
                 op_eff = op * jnp.where(pre.valid, pre.coef, 0.0)
                 payload = rp.build_payload16(
                     pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, b)

@@ -34,6 +34,11 @@ def evaluate_dir(base: str, lpips_weights: str = ""):
     psnrs, ssims, lpipss, per_view = [], [], [], {}
     ssim_j = jax.jit(losses.ssim)
     psnr_j = jax.jit(losses.psnr)
+    # weights resolve: explicit flag > GOF_LPIPS_WEIGHTS env; when absent the
+    # output is SELF-DESCRIBING (LPIPS null + reason) rather than silently
+    # incomplete — see scripts/convert_lpips_weights.py for the offline
+    # conversion recipe (this image ships no torchvision checkpoints)
+    lpips_weights = lpips_weights or os.environ.get("GOF_LPIPS_WEIGHTS", "")
     lp = lpips_fn(lpips_weights)
     for name in names:
         r = jnp.asarray(_load(os.path.join(rdir, name)))
@@ -46,12 +51,17 @@ def evaluate_dir(base: str, lpips_weights: str = ""):
         if l is not None:
             lpipss.append(l)
         per_view[name] = {"PSNR": p, "SSIM": s, "LPIPS": l}
-    return {
+    out = {
         "PSNR": float(np.mean(psnrs)),
         "SSIM": float(np.mean(ssims)),
         "LPIPS": float(np.mean(lpipss)) if lpipss else None,
         "per_view": per_view,
     }
+    if not lpipss:
+        out["LPIPS_reason"] = (
+            "weights unavailable: convert with scripts/convert_lpips_weights"
+            ".py and pass --lpips_weights or set GOF_LPIPS_WEIGHTS")
+    return out
 
 
 def main(argv=None):

@@ -97,7 +97,8 @@ class Binning(NamedTuple):
 
     slot_to_gaussian: jnp.ndarray  # [CAP] int32, == P for padding
     bounds: jnp.ndarray  # [NTILES+1] int32: tile t owns slots [b[t], b[t+1])
-    num_keys: jnp.ndarray  # scalar int32: REAL duplicated keys
+    num_keys: jnp.ndarray  # scalar int32: REAL materialized keys (post
+    # circle-cull, == bounds[-1])
     overflow: jnp.ndarray  # scalar bool: capacity exceeded (surplus dropped)
     num_slots: jnp.ndarray  # scalar int32: class-padded slot demand — what
     # capacity sizing must satisfy (>= num_keys; the pad is the per-class
@@ -162,6 +163,8 @@ def bin_gaussians(
     ntx: int,
     nty: int,
     capacity: int,
+    mean2d: jnp.ndarray | None = None,
+    radius: jnp.ndarray | None = None,
 ) -> Binning:
     """Build the (tile, depth)-ordered duplicated Gaussian list.
 
@@ -170,6 +173,13 @@ def bin_gaussians(
         Gaussians have rects.w/h == 0 and may hold anything).
       capacity: static maximum number of padded key slots (rounded up to a
         multiple of CHUNK_SIZE).
+      mean2d/radius: optional [P, 2] pixel centers + [P] circumscribed
+        radii. When given, keys whose whole tile lies farther than `radius`
+        from the center are culled (the bbox's corner tiles): alpha there
+        is below the 1/255 blend cutoff, so the rendered image is identical
+        while the per-tile lists shrink ~15% (the reference bins the full
+        circle bbox, forward.cu:363-371 — this is a strict-subset
+        refinement of the same approximation).
 
     Pipeline (all static shapes):
       1. per-gaussian key count -> padded size class (elementwise ladder);
@@ -211,8 +221,17 @@ def bin_gaussians(
         | (jnp.minimum(rects.w, 1023).astype(jnp.int32) << 20)
     )
     depth_i = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
-    gs_pad, rect_c, depth_c, cnt_c, gs_gid = jax.lax.sort(
-        (padded, packed_rect, depth_i, counts, gid), num_keys=1, is_stable=True)
+    cull = mean2d is not None and radius is not None
+
+    def f2i(x):
+        return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+
+    extra = ((f2i(mean2d[:, 0]), f2i(mean2d[:, 1]), f2i(radius))
+             if cull else ())
+    sorted_cols = jax.lax.sort(
+        (padded, packed_rect, depth_i, counts, gid) + extra,
+        num_keys=1, is_stable=True)
+    gs_pad, rect_c, depth_c, cnt_c, gs_gid = sorted_cols[:5]
     # class c owns gaussians [gb[c], gb[c+1]) (padded values are exactly
     # class sizes, so bisection at the next size closes each class)
     queries = jnp.asarray(np.concatenate([sizes_np, [sizes_np[-1] + 1]]), jnp.int32)
@@ -226,9 +245,6 @@ def bin_gaussians(
     tot_f = jnp.sum(n_c.astype(jnp.float32) * sizes_np.astype(jnp.float32))
     wrapped = tot_f > jnp.float32(2**31 - 1)
     num_slots = jnp.where(wrapped, jnp.int32(2**31 - 1), class_start[-1])
-    nk_f = jnp.sum(counts.astype(jnp.float32))
-    num_keys = jnp.where(wrapped | (nk_f > 2**31 - 1),
-                         jnp.int32(2**31 - 1), jnp.sum(counts))
     overflow = (num_slots > capacity) | wrapped
 
     # 3. per-slot owner arithmetic (elementwise over [CAP])
@@ -249,8 +265,9 @@ def bin_gaussians(
     # attrs in class-sorted order (carried by the class sort above): ONE
     # [CAP]-row narrow gather resolves every slot — the single key-list-
     # sized gather in the whole binning pipeline
-    tbl = jnp.stack([rect_c, depth_c, cnt_c, gs_gid], axis=1)  # [P, 4]
-    a = tbl[jnp.clip(gidx, 0, max(P - 1, 0))]  # [CAP, 4]
+    tbl = jnp.stack(
+        [rect_c, depth_c, cnt_c, gs_gid] + list(sorted_cols[5:]), axis=1)
+    a = tbl[jnp.clip(gidx, 0, max(P - 1, 0))]  # [CAP, 4(+3)]
     rect_s, depth_s, cnt_s, gid_s = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
 
     nsl = jnp.where(wrapped, 0, num_slots)
@@ -261,10 +278,29 @@ def bin_gaussians(
     rw = jnp.maximum((rect_s >> 20) & 1023, 1)
     jdiv = _floor_div(j, rw)
     jmod = j - jdiv * rw
-    tile = (y0e + jdiv) * ntx + x0e + jmod  # [CAP]
+    tilex = x0e + jmod
+    tiley = y0e + jdiv
+    tile = tiley * ntx + tilex  # [CAP]
+    if cull:
+        # circle-vs-tile test: the rect is the bbox of the alpha >= 1/255
+        # ellipse, but its CORNER tiles can lie entirely outside the
+        # circumscribed alpha circle — every pixel there blends exactly
+        # zero, so the key is dropped (image-identical, ~15% fewer keys).
+        def i2f(x):
+            return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+        mx, my, rad = i2f(a[:, 4]), i2f(a[:, 5]), i2f(a[:, 6])
+        px0 = (tilex * TILE_W).astype(jnp.float32)
+        py0 = (tiley * TILE_H).astype(jnp.float32)
+        dx = mx - jnp.clip(mx, px0, px0 + TILE_W)
+        dy = my - jnp.clip(my, py0, py0 + TILE_H)
+        live = live & (dx * dx + dy * dy <= rad * rad)
     tile = jnp.where(live, tile, ntiles)  # sentinel sorts last
     depth_bits = jnp.where(live, depth_s, jnp.int32(2**31 - 1))
     gid_sort = jnp.where(live, gid_s, P)
+    # real (materialized, post-cull) key count == bounds[-1]; capacity
+    # sizing uses num_slots (the padded demand) instead
+    num_keys = jnp.sum(live.astype(jnp.int32))
 
     # 4. one 3-key sort: (tile, depth, id). Unique triples (a gaussian
     # appears at most once per tile), so no stability flag is needed; the id

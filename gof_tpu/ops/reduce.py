@@ -156,34 +156,33 @@ def sorted_segment_reduce(rows_t: jnp.ndarray, gids_sorted: jnp.ndarray,
     )(chunk_last, rows_t, gids_sorted[None, :])
 
 
-_KERNEL_OK: bool | None = None
+_KERNEL_OK: dict = {}
 
 
-def kernel_available() -> bool:
-    """One-time compile probe on the default backend; on a Mosaic lowering
-    failure every caller falls back to segment_sum instead of crashing."""
-    global _KERNEL_OK
-    if _KERNEL_OK is None:
+def kernel_available(C: int, R: int, P: int) -> bool:
+    """Compile probe AT THE CALLER'S SHAPE (cached per shape): Mosaic
+    lowering constraints are shape-dependent, so a fixed-shape probe can
+    pass while the real workload is rejected (or vice versa). The probe
+    runs once per (C, R, P) with concrete inputs; on failure that shape
+    falls back to segment_sum instead of crashing the session."""
+    key = (C, R, P)
+    if key not in _KERNEL_OK:
         try:
             import warnings
 
             import numpy as np
 
-            # production-like shape: Mosaic lowering constraints are
-            # shape-dependent, so a tiny probe can pass where the real
-            # workload is rejected
-            rows = jnp.asarray(np.ones((16, 64 * CH), np.float32))
+            rows = jnp.zeros((C, R), jnp.float32)
             ids = jnp.sort(jnp.asarray(
-                np.random.default_rng(0).integers(0, 100_001, 64 * CH),
-                jnp.int32))
-            out = sorted_segment_reduce(rows, ids, 100_000)
+                np.random.default_rng(0).integers(0, P + 1, R), jnp.int32))
+            out = sorted_segment_reduce(rows, ids, P)
             jax.block_until_ready(out)
-            _KERNEL_OK = True
+            _KERNEL_OK[key] = True
         except Exception as e:  # noqa: BLE001 — any lowering failure
-            warnings.warn(f"sorted-reduce kernel unavailable on this "
-                          f"backend, falling back to segment_sum: {e!r}")
-            _KERNEL_OK = False
-    return _KERNEL_OK
+            warnings.warn(f"sorted-reduce kernel unavailable at shape "
+                          f"{key}, falling back to segment_sum: {e!r}")
+            _KERNEL_OK[key] = False
+    return _KERNEL_OK[key]
 
 
 def reduce_rows_by_gid(rows_t: jnp.ndarray, gidc: jnp.ndarray, P: int,
@@ -194,7 +193,7 @@ def reduce_rows_by_gid(rows_t: jnp.ndarray, gidc: jnp.ndarray, P: int,
     dropped). Returns [P, C].
     """
     C, R = rows_t.shape
-    if interpret or R % CH != 0 or not kernel_available():
+    if interpret or R % CH != 0 or not kernel_available(C, R, P):
         # interpret / odd-size / no-Mosaic fallback: XLA segment_sum
         return jax.ops.segment_sum(rows_t.T, gidc, num_segments=P + 1)[:P]
     gid_sorted, perm = jax.lax.sort(

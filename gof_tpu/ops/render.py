@@ -81,7 +81,8 @@ def render(
     ntx, nty = binning.tile_grid(camera.width, camera.height)
     rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty,
                                    radius_xy=pre.radius_xy)
-    b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity)
+    b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity,
+                              mean2d=pre.mean2d, radius=pre.radius)
     # The 2D-dilation compensation is detached (its cov2D backward is disabled
     # in the reference, backward.cu:991-1007).
     op_eff = opacities * jnp.where(pre.valid, jax.lax.stop_gradient(pre.coef), 0.0)

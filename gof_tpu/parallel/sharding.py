@@ -7,7 +7,12 @@ from one-process-per-(GPU, scene) shell dispatch (scripts/run_mipnerf360.py:
 1. camera-batch data parallelism (`dp_train_step`): each device renders a
    different training view of the SAME scene; gradients are all-reduced over
    ICI with psum. This is a semantic extension of the reference's 1-camera
-   SGD (batch size = mesh size) — LRs may need rescaling for parity.
+   SGD (batch size = mesh size). MEASURED LR RULE (scripts/
+   dp_semantics_study.py, renderable toy scene, eval L1 after equal total
+   views): scale every LR by ~sqrt(dp) — dp=2 @ lr x1.41 reached 0.00631
+   vs 1-camera SGD 0.00641, lr x2.0 gave 0.00639, while unscaled lr x1.0
+   lagged at 0.00726. sqrt(dp) fully recovers the 1-camera trajectory at
+   half the step count; regression-tested in test_sharding.py.
 2. scene parallelism (`scene_parallel_step`): each device owns an independent
    scene (params stacked along a leading 'scene' axis, zero communication) —
    the exact semantic analog of the reference's GPU dispatcher.

@@ -740,6 +740,20 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
             m_loss, m_psnr, m_points = mp[-1, 0], mp[-1, 1], mp[-1, 6]
             m_keys, m_key_ov = mp[:, 2].max(), mp[:, 3].max()
             m_cdem, m_cov = mp[:, 4].max(), mp[:, 5].max()
+            if pipe.debug and not np.all(np.isfinite(mp[:, 0])):
+                # fail-time forensics (the reference's snapshot_fw.dump +
+                # CHECK_CUDA debug mode, dgr/__init__.py:89-96,
+                # auxiliary.h:204-211): dump every render/optimizer input so
+                # the failing window replays offline, then abort loudly.
+                fn = _debug_dump(
+                    model_cfg.model_path, iteration, tp, gstate, opt_state,
+                    {"packed_metrics": mp,
+                     "key_capacity": np.int64(pipe.key_capacity),
+                     "compact_capacity": np.int64(pipe.compact_capacity),
+                     "n_inner": np.int64(n_inner)})
+                raise FloatingPointError(
+                    f"non-finite loss in window ending at iteration "
+                    f"{iteration}; render inputs dumped to {fn}")
             rebuild = False
             if m_key_ov:
                 # Grow to the observed demand (num_keys is the true pre-drop
@@ -860,6 +874,32 @@ def _make_tb_writer(model_path: str):
         return SummaryWriter(model_path)
     except Exception:
         return None
+
+
+def _debug_dump(model_path, iteration, tp, gstate, opt_state, extra):
+    """Write the full training-step input state as one npz (--debug mode).
+
+    The analog of the reference's fail-time input snapshots
+    (diff_gaussian_rasterization/__init__.py:89-96): gaussian parameters,
+    densification state, fused-Adam moments, and capacity telemetry —
+    everything needed to replay the failing step offline.
+    """
+    path = os.path.join(model_path, "debug")
+    os.makedirs(path, exist_ok=True)
+    fn = os.path.join(path, f"snapshot_iter{int(iteration):06d}.npz")
+    arrs = {}
+    for k, v in tp.gauss._asdict().items():
+        arrs[f"gauss_{k}"] = np.asarray(v)
+    for k, v in gstate._asdict().items():
+        arrs[f"gstate_{k}"] = np.asarray(v)
+    arrs["adam_count"] = np.asarray(opt_state.count)
+    for k, v in opt_state.mu.gauss._asdict().items():
+        arrs[f"adam_mu_{k}"] = np.asarray(v)
+    for k, v in opt_state.nu.gauss._asdict().items():
+        arrs[f"adam_nu_{k}"] = np.asarray(v)
+    arrs.update(extra)
+    np.savez_compressed(fn, **arrs)
+    return fn
 
 
 def _densify(densify_fn, tp, gstate, opt_state, key, use_size):

@@ -30,6 +30,13 @@ BOXES = [  # lo, hi, material id
 PLANE_Y = -1.0
 LIGHT = np.array([0.45, 0.8, 0.35]) / np.linalg.norm([0.45, 0.8, 0.35])
 
+# --specular: Blinn-Phong lobe strength multiplier (0 = lambertian, the
+# round-3 scene). View-DEPENDENT shading exercises SH degrees 1-3, which a
+# lambertian scene barely trains (VERDICT r3 item 6). Per-material gloss:
+SPECULAR = 0.0
+_GLOSS = {1: (0.12, 48.0), 2: (0.7, 64.0), 3: (0.6, 96.0), 4: (0.8, 32.0),
+          5: (0.5, 128.0), 6: (0.3, 24.0), 7: (0.45, 48.0)}
+
 
 # Texture difficulty knobs (set by --tex-freq / --octaves): multiplying the
 # base frequencies and adding octaves raises the image-gradient floor, which
@@ -165,6 +172,19 @@ def render_view(eye, target, width, height, fovx):
     lam = np.clip(np.einsum("...i,i->...", n, LIGHT), 0, 1)
     shade = (0.35 + 0.65 * lam)[..., None]
     img = np.where(hit[..., None], alb * shade, 0.0).astype(np.float32)
+    if SPECULAR > 0:
+        # Blinn-Phong half-vector lobe: view-dependent, multi-view
+        # consistent (a pure function of hit point + eye), trains f_rest
+        h = LIGHT - d  # -d = direction toward the eye
+        h = h / (np.linalg.norm(h, axis=-1, keepdims=True) + 1e-12)
+        ndh = np.clip(np.einsum("...i,...i->...", n, h), 0, 1)
+        spec = np.zeros_like(lam)
+        for mid, (ks, pw) in _GLOSS.items():
+            m = mat == mid
+            if m.any():
+                spec[m] = ks * ndh[m] ** pw
+        img = img + (hit * SPECULAR * spec * (lam > 0))[..., None] \
+            * np.array([1.0, 0.97, 0.9], np.float32)
     return np.clip(img, 0, 1), hit.astype(np.float32)
 
 
@@ -284,9 +304,12 @@ def main():
                     help="texture frequency multiplier (higher -> more "
                          "densification pressure)")
     ap.add_argument("--octaves", type=int, default=3)
+    ap.add_argument("--specular", type=float, default=0.0,
+                    help="Blinn-Phong lobe strength (view-dependent shading "
+                         "that exercises SH degrees 1-3); 0 = lambertian")
     args = ap.parse_args()
-    global TEX_FREQ, OCTAVES
-    TEX_FREQ, OCTAVES = args.tex_freq, args.octaves
+    global TEX_FREQ, OCTAVES, SPECULAR
+    TEX_FREQ, OCTAVES, SPECULAR = args.tex_freq, args.octaves, args.specular
 
     from PIL import Image
 

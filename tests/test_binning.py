@@ -148,6 +148,45 @@ class TestBinning:
         np.testing.assert_array_equal(got, counts)
         assert int(b.bounds[-1]) == counts.sum()
 
+    def test_circle_cull_is_image_lossless(self, rng):
+        """Dropping bbox-corner tiles outside the alpha circle must not
+        change the rendered image (those contributions are below the 1/255
+        cutoff and blend to exactly zero), while shrinking the key list."""
+        means, scales, rots, opac, shs, cam = make_scene(rng, n=50, scale=0.4)
+        pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
+        ntx, nty = binning.tile_grid(cam.width, cam.height)
+        rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+        b0 = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=8192)
+        b1 = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=8192,
+                                   mean2d=pre.mean2d, radius=pre.radius)
+        assert int(b1.num_keys) <= int(b0.num_keys)
+        assert int(b1.num_slots) == int(b0.num_slots)  # demand unchanged
+
+        def img(b):
+            op_eff = opac * jnp.where(pre.valid, pre.coef, 0.0)
+            payload = tiled_ref.build_payload(pre.rgb, op_eff, pre.v2g_M,
+                                              pre.v2g_u0, b)
+            seg = np.asarray(b.bounds[1:]) - np.asarray(b.bounds[:-1])
+            out = tiled_ref.render_tiles_xla(
+                payload, b, ntx, nty, cam.width, cam.height,
+                cam.focal_x, cam.focal_y, jnp.zeros(3),
+                max(int(seg.max()), 1))
+            return np.asarray(tiled_ref.assemble_image(
+                out, ntx, nty, cam.width, cam.height))
+
+        # Culled keys sit below the 1/255 2D-splat cutoff; their 3D ray
+        # alpha exceeds it only by the EWA affine-approximation error, so
+        # rgb/alpha agree to well under one 8-bit level. The median-depth
+        # channel (6) is a discrete selection: on near-background pixels a
+        # sub-cutoff contributor can be the depth median, so its deviation
+        # is bounded in AREA, not value (the same approximation class as the
+        # reference's own 3-sigma rect cutoff, forward.cu:363-371).
+        a, c = img(b1), img(b0)
+        rgba = np.concatenate([a[:3], a[7:8]])
+        rgbc = np.concatenate([c[:3], c[7:8]])
+        assert np.abs(rgba - rgbc).max() < 2e-3
+        assert (np.abs(a[6] - c[6]) > 1e-3).mean() < 0.01  # <1% of pixels
+
     def test_reduce_per_gaussian(self, rng):
         means, scales, rots, opac, shs, cam = make_scene(rng, n=50)
         pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)

@@ -39,6 +39,26 @@ class TestMarchingTets:
         # faces reference valid edges
         assert out["faces"].max() < len(out["edge_points"])
 
+    def test_device_path_matches_numpy(self):
+        """The eager-jnp marching tets (sort-based edge dedup on device)
+        must produce the SAME edge list and the same face set as the host
+        numpy path (face row order may differ)."""
+        pts, tets = grid_tets(n=8)
+        sdf = (np.linalg.norm(pts - np.array([0.2, -0.1, 0.05]), axis=-1)
+               - 0.9).astype(np.float32)
+        scales = np.random.default_rng(0).uniform(
+            0.5, 1.5, len(pts)).astype(np.float32)
+        a = tetmesh._marching_tetrahedra_np(pts, tets, sdf, scales)
+        b = tetmesh._marching_tetrahedra_device(pts, tets, sdf, scales)
+        np.testing.assert_array_equal(a["edge_verts"], b["edge_verts"])
+        np.testing.assert_array_equal(a["edge_points"], b["edge_points"])
+        np.testing.assert_array_equal(a["edge_sdf"], b["edge_sdf"])
+        np.testing.assert_array_equal(a["edge_scale"], b["edge_scale"])
+        fa = {tuple(f) for f in a["faces"].tolist()}
+        fb = {tuple(f) for f in b["faces"].tolist()}
+        assert fa == fb
+        assert len(a["faces"]) == len(b["faces"])
+
     def test_empty_and_full(self):
         pts, tets = grid_tets(n=6)
         out = tetmesh.marching_tetrahedra(pts, tets, np.ones(len(pts)), None)

@@ -116,6 +116,90 @@ class TestDataParallel:
         assert float(np.abs(np.asarray(tp.gauss.xyz) - xyz0).max()) > 0
         assert int(m["num_keys"]) > 0
 
+    @pytest.mark.slow
+    def test_dp_lr_scaling_tracks_single_camera_sgd(self, mesh4):
+        """SEMANTICS, not mechanics (SURVEY §2.3 caveat): dp-camera batching
+        changes SGD; with LRs scaled by ~sqrt(dp) the half-length dp=2 run
+        must reach the dp=1 eval loss (measured on the renderable toy scene:
+        dp=2 @ lr x1.41 -> 0.00631 vs dp=1 -> 0.00641; lr x1 lags at
+        0.00726 — scripts/dp_semantics_study.py)."""
+        import dataclasses
+
+        from gof_tpu.ops import render as render_lib
+        from gof_tpu.parallel import sharding as shard_lib
+
+        mesh2 = shard_lib.make_mesh(2)
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(128, 3)).astype(np.float32) * 0.5
+        cols = rng.random((128, 3)).astype(np.float32)
+        gauss, gstate = gm.init_from_points(pts, cols, sh_degree=1, capacity=256)
+        cams = [cameras.look_at_camera(
+            eye=(3.0 * np.sin(t), 0.8, 3.0 * np.cos(t)), target=(0, 0, 0),
+            width=48, height=48, uid=i)
+            for i, t in enumerate(np.linspace(0, 2 * np.pi, 8, endpoint=False))]
+        model_cfg = config_lib.ModelParams(sh_degree=1, kernel_size=0.1)
+        pipe = config_lib.PipelineParams(backend="pallas", key_capacity=1 << 12)
+        tgt = gauss._replace(
+            features_dc=gauss.features_dc + 0.6 * rng.standard_normal(
+                gauss.features_dc.shape).astype(np.float32))
+
+        def render_view(g, cam):
+            out = render_lib.render(
+                cam, g.xyz, gm.filtered_scaling(g, gstate.filter_3d),
+                g.rotation, gm.filtered_opacity(g, gstate.filter_3d),
+                gm.get_features(g), 1, 0.1, jnp.zeros(3),
+                active_mask=gstate.active, capacity=1 << 12,
+                backend="pallas", interpret=True)
+            return out.image[:3]
+
+        gts = jnp.stack([render_view(tgt, c) for c in cams])
+
+        def run(dp, n_steps, lr_mult, mesh=None):
+            opt = config_lib.OptimizationParams()
+            opt = dataclasses.replace(
+                opt,
+                position_lr_init=opt.position_lr_init * lr_mult,
+                position_lr_final=opt.position_lr_final * lr_mult,
+                feature_lr=opt.feature_lr * lr_mult,
+                scaling_lr=opt.scaling_lr * lr_mult,
+                rotation_lr=opt.rotation_lr * lr_mult,
+                opacity_lr=opt.opacity_lr * lr_mult)
+            tx = train_lib.make_optimizer(opt, 1.0)
+            app_net, app_emb = app_lib.init_appearance(jax.random.PRNGKey(0))
+            tp = train_lib.TrainParams(gauss=jax.tree.map(jnp.copy, gauss),
+                                       app_net=app_net, app_emb=app_emb)
+            opt_state = jax.tree.map(lambda x: jnp.array(np.asarray(x)),
+                                     tx.init(tp))
+            step_fn = train_lib.build_train_step(
+                opt, model_cfg, pipe, tx, interpret=True, dp=dp, mesh=mesh)
+            order = np.concatenate([np.random.default_rng(42).permutation(8)
+                                    for _ in range(n_steps * dp // 8 + 1)])
+            gs = gstate
+            for i in range(n_steps):
+                ids = order[i * dp:(i + 1) * dp]
+                if dp == 1:
+                    cam, gt = cams[ids[0]], gts[ids[0]]
+                else:
+                    cam = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                       *[cams[j] for j in ids])
+                    gt = jnp.stack([gts[j] for j in ids])
+                tp, opt_state, gs, _ = step_fn(
+                    tp, opt_state, gs, gt, jnp.asarray(i, jnp.int32), cam,
+                    jnp.zeros(3))
+            l1j = jax.jit(lambda g, cam, gt: jnp.mean(
+                jnp.abs(render_view(g, cam) - gt)))
+            return float(np.mean([float(l1j(tp.gauss, cams[j], gts[j]))
+                                  for j in range(8)]))
+
+        n = 16
+        l_dp1 = run(1, 2 * n, 1.0)
+        l_dp2 = run(2, n, 1.41, mesh=mesh2)
+        l0 = run(1, 0, 1.0)
+        assert l_dp1 < 0.6 * l0  # dp=1 actually trains
+        assert l_dp2 < 0.6 * l0  # dp=2 trains too
+        # sqrt(dp)-scaled half-length dp run tracks the dp=1 trajectory
+        assert l_dp2 < l_dp1 * 1.25, (l_dp2, l_dp1)
+
     def test_dp_overflow_gate_skips_update(self, mesh4):
         """If ANY device overflows its key capacity the whole update is a
         no-op (params, optimizer state, and stats unchanged)."""

@@ -114,6 +114,54 @@ class TestTrainE2E:
         assert it == 30
 
 
+class TestDebugMode:
+    @pytest.mark.slow
+    def test_debug_dumps_on_nonfinite_loss(self, synth_scene, tmp_path):
+        """--debug is the analog of the reference's fail-time snapshot dumps
+        (dgr/__init__.py:89-96): corrupt one input, train, and the loop must
+        abort with a FloatingPointError after writing a replayable npz of
+        every render input."""
+        import glob
+
+        out = str(tmp_path / "dbg")
+        model_cfg = config_lib.ModelParams(
+            source_path=synth_scene, model_path=out, sh_degree=1,
+            kernel_size=0.1,
+        )
+        pipe = config_lib.PipelineParams(backend="xla", key_capacity=512,
+                                         debug=True)
+        opt = config_lib.OptimizationParams(
+            iterations=10, densify_from_iter=10_000, densify_until_iter=0,
+            opacity_reset_interval=100_000, distortion_from_iter=5,
+            depth_normal_from_iter=5,
+        )
+        train_lib.training(model_cfg, opt, pipe, test_iterations=set(),
+                           save_iterations=set(), checkpoint_iterations={10},
+                           quiet=True)
+        ckpt = os.path.join(out, "chkpnt10.pkl")
+        tp, opt_state, gstate, _ = train_lib.load_checkpoint(ckpt)
+        # poison one SH-DC coefficient: rgb -> NaN -> image -> loss
+        poisoned = tp._replace(gauss=tp.gauss._replace(
+            features_dc=tp.gauss.features_dc.at[0].set(jnp.nan)))
+        train_lib.save_checkpoint(out, 10, poisoned, opt_state, gstate)
+        opt2 = config_lib.OptimizationParams(
+            iterations=30, densify_from_iter=10_000, densify_until_iter=0,
+            opacity_reset_interval=100_000, distortion_from_iter=5,
+            depth_normal_from_iter=5,
+        )
+        with pytest.raises(FloatingPointError, match="snapshot_iter"):
+            train_lib.training(model_cfg, opt2, pipe, test_iterations=set(),
+                               save_iterations=set(),
+                               checkpoint_iterations=set(), quiet=True,
+                               start_checkpoint=ckpt)
+        dumps = glob.glob(os.path.join(out, "debug", "snapshot_iter*.npz"))
+        assert dumps, "debug snapshot not written"
+        blob = np.load(dumps[0])
+        assert "gauss_xyz" in blob and "packed_metrics" in blob
+        assert not np.isfinite(blob["packed_metrics"][:, 0]).all()
+        assert np.isnan(blob["gauss_features_dc"][0]).any()
+
+
 class TestOverflowGating:
     def test_compact_overflow_gates_update(self, rng):
         """A step whose compact gradient buffer overflows must be a no-op:
