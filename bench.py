@@ -78,20 +78,29 @@ def bench_config(n, width, height, capacity, reps, label, sigma=-3.2, verbose=Fa
     tp0 = train_lib.TrainParams(gauss=params, app_net=app_net, app_emb=app_emb)
     opt_state0 = tx.init(tp0)
 
-    def fit_compact_capacity():
-        """One probe step at the safe compact capacity, then fit the buffer
-        to 1.3x the measured live-row demand — exactly the training loop's
-        right-sizing policy. The backward stores only live (pre-saturation)
-        gradient rows, ~15% of keys at this overdraw."""
+    def fit_capacities():
+        """One probe step at the safe launch capacities, then fit both static
+        buffers to the measured demand — exactly the training loop's
+        right-sizing policy (train.py:791-806): key capacity to 1.15x the
+        padded slot demand (131072-aligned), compact gradient buffer to 1.3x
+        the live-row demand (the backward stores only pre-saturation rows,
+        ~15% of keys at this overdraw)."""
         step_fn = train_lib.build_train_step(
             opt, model_cfg, pipe, tx, with_stats=True, with_reg=False)
         import jax.numpy as jnp2
         t = jax.tree.map(jnp2.copy, tp0)
         _, _, _, m = step_fn(t, opt_state0, gstate, gt,
                              jnp2.asarray(5000, jnp2.int32), cam, bg)
+        if bool(m["key_overflow"]):
+            raise AssertionError(
+                f"probe key overflow at capacity {pipe.key_capacity}")
         demand = int(m["compact_demand"])
         pipe.compact_capacity = -(-max(int(demand * 1.3), 65536) // 65536) * 65536
-        print(f"# compact demand {demand} -> capacity {pipe.compact_capacity}",
+        kdemand = int(m["num_keys"])
+        pipe.key_capacity = -(-max(int(kdemand * 1.15), 131072)
+                              // 131072) * 131072
+        print(f"# slot demand {kdemand} -> key capacity {pipe.key_capacity}; "
+              f"compact demand {demand} -> capacity {pipe.compact_capacity}",
               file=__import__("sys").stderr)
 
     def time_phase(with_stats, with_reg, step_idx):
@@ -117,14 +126,14 @@ def bench_config(n, width, height, capacity, reps, label, sigma=-3.2, verbose=Fa
         dt = (time.perf_counter() - t0) / reps
         return dt, nk, ov
 
-    fit_compact_capacity()
+    fit_capacities()
     d_densify, nk, ov = time_phase(True, False, 5000)
     d_reg, _, _ = time_phase(False, True, 20000)
-    assert not ov, (f"key/compact overflow: {nk} keys vs capacity {capacity}; "
-                    "raise --capacity")
+    assert not ov, (f"key/compact overflow: {nk} keys vs capacity "
+                    f"{pipe.key_capacity}; raise --capacity")
     mean_dt = 0.5 * (d_densify + d_reg)
     if verbose:
-        print(f"# {label}: gaussians={n} keys={nk} capacity={capacity} "
+        print(f"# {label}: gaussians={n} keys={nk} capacity={pipe.key_capacity} "
               f"densify-phase {d_densify*1e3:.1f} ms | reg-phase {d_reg*1e3:.1f} ms")
     return 1.0 / mean_dt, nk
 
@@ -134,8 +143,9 @@ def main():
     ap.add_argument("--gaussians", type=int, default=100_000)
     ap.add_argument("--width", type=int, default=1237)
     ap.add_argument("--height", type=int, default=822)
-    # Capacity is what the training loop's right-sizing policy (1.15x
-    # observed demand, 64k-aligned) settles at for this workload.
+    # Launch/probe capacity only: one probe step measures the real slot
+    # demand and the bench right-sizes to 1.15x (the training loop's policy)
+    # before timing.
     ap.add_argument("--capacity", type=int, default=1_441_792)
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--late", action="store_true", default=True,

@@ -60,6 +60,12 @@ class PipelineParams:
     compact_capacity: int = 0
     # static Gaussian capacity headroom factor when growing
     capacity_headroom: float = 1.3
+    # static capacity of the liveness-compacted key list (temporal liveness
+    # culling, binning.compact_live): 0 = culling disabled. The training
+    # loop enables it once densification ends and right-sizes it from the
+    # live-demand telemetry; keys past each tile's cached saturation prefix
+    # are image-exactly dead (the forward loop would never read them).
+    live_capacity: int = 0
 
 
 @dataclass

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import TILE_H, TILE_W
+from . import class_gather
 
 CHUNK_SIZE = 128  # Gaussians per VMEM chunk in the blend kernels
 
@@ -165,6 +166,7 @@ def bin_gaussians(
     capacity: int,
     mean2d: jnp.ndarray | None = None,
     radius: jnp.ndarray | None = None,
+    gather_force: str | None = None,
 ) -> Binning:
     """Build the (tile, depth)-ordered duplicated Gaussian list.
 
@@ -262,13 +264,17 @@ def bin_gaussians(
     gidx = gbase + rank
     j = local - rank * stride
 
-    # attrs in class-sorted order (carried by the class sort above): ONE
-    # [CAP]-row narrow gather resolves every slot — the single key-list-
-    # sized gather in the whole binning pipeline
-    tbl = jnp.stack(
-        [rect_c, depth_c, cnt_c, gs_gid] + list(sorted_cols[5:]), axis=1)
-    a = tbl[jnp.clip(gidx, 0, max(P - 1, 0))]  # [CAP, 4(+3)]
-    rect_s, depth_s, cnt_s, gid_s = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+    # attrs in class-sorted order (carried by the class sort above): the
+    # single key-list-sized lookup in the whole binning pipeline. gidx is
+    # monotonic with steps in {0, 1}, so the windowed indicator-matmul
+    # kernel resolves it bit-exactly at ~10x the XLA gather's rate
+    # (class_gather.py; auto-falls back to the gather off-TPU).
+    cnt_b = (max(ntiles, 1).bit_length() + 7) // 8
+    gid_b = (max(P, 1).bit_length() + 7) // 8
+    attr_cols = [(rect_c, 4), (depth_c, 4), (cnt_c, cnt_b), (gs_gid, gid_b)]
+    attr_cols += [(c, 4) for c in sorted_cols[5:]]
+    a = class_gather.expand(attr_cols, gidx, P, force=gather_force)
+    rect_s, depth_s, cnt_s, gid_s = a[0], a[1], a[2], a[3]
 
     nsl = jnp.where(wrapped, 0, num_slots)
     live = (k < nsl) & (j < cnt_s) & (gidx < P)
@@ -289,7 +295,7 @@ def bin_gaussians(
         def i2f(x):
             return jax.lax.bitcast_convert_type(x, jnp.float32)
 
-        mx, my, rad = i2f(a[:, 4]), i2f(a[:, 5]), i2f(a[:, 6])
+        mx, my, rad = i2f(a[4]), i2f(a[5]), i2f(a[6])
         px0 = (tilex * TILE_W).astype(jnp.float32)
         py0 = (tiley * TILE_H).astype(jnp.float32)
         dx = mx - jnp.clip(mx, px0, px0 + TILE_W)
@@ -341,6 +347,78 @@ def reduce_per_gaussian(
         dslot, binning.slot_to_gaussian, num_segments=num_gaussians + 1
     )
     return sums[:num_gaussians]
+
+
+# ---------------------------------------------------------------------------
+# Temporal liveness compaction
+# ---------------------------------------------------------------------------
+
+# chunks of headroom added to every cached live count (covers DMA-alignment
+# drift of the segment head plus slow saturation-boundary motion between
+# visits of the same camera)
+LIVE_MARGIN_CHUNKS = 2
+
+LIM_INF = jnp.int32(1 << 24)  # "no limit" sentinel (chunks)
+
+
+def compact_live(b: Binning, lim_chunks: jnp.ndarray, live_capacity: int,
+                 num_gaussians: int):
+    """Compact the sorted key list to per-tile LIVE prefixes.
+
+    The forward blend walks each tile front-to-back and stops once every
+    pixel's transmittance is below TRANSMITTANCE_EPS — keys past that point
+    are never read and their gradients are exactly zero (the reference's
+    per-pixel early termination makes the same cut, forward.cu:475-477).
+    Saturation boundaries move slowly between visits of the same camera, so
+    the previous visit's live chunk count (+ margin) bounds this visit's
+    prefix: only those keys are materialized for the payload gather and the
+    blend kernels, shrinking the dominant per-row gather cost by the live
+    fraction. Kept slots are per-tile PREFIXES of the existing sort, so
+    compaction is index arithmetic (one boundary-delta cumsum + one narrow
+    gather) — no extra sort.
+
+    A stale bound is DETECTED, not trusted: the caller must treat
+    (truncated[t] & tile-unsaturated[t]) as an invalid step (skip the
+    update, grow the cached bound). When no tile trips that test the
+    compacted render is bit-identical to the full one.
+
+    Args:
+      lim_chunks: [NTILES] int32 per-tile live chunk bounds (LIM_INF = no
+        bound — e.g. first visit).
+      live_capacity: static compacted-list capacity.
+    Returns:
+      (binning_compact, truncated [NTILES] bool, live_overflow scalar bool,
+       live_demand scalar int32).
+    """
+    lcap = -(-live_capacity // CHUNK_SIZE) * CHUNK_SIZE
+    ntiles = b.bounds.shape[0] - 1
+    seg_start = b.bounds[:-1]
+    seg_len = b.bounds[1:] - seg_start
+    # clamp before the chunk->key scale so LIM_INF (2^24) cannot wrap int32
+    lim_keys = jnp.minimum(
+        seg_len, jnp.minimum(lim_chunks, jnp.int32(1 << 22)) * CHUNK_SIZE)
+    truncated = lim_keys < seg_len
+    live_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(lim_keys).astype(jnp.int32)])
+    live_demand = live_start[-1]
+    live_overflow = live_demand > lcap
+    j = jnp.arange(lcap, dtype=jnp.int32)
+    starts = jnp.clip(live_start[:-1], 0, lcap - 1)
+    in_cap = live_start[:-1] < lcap
+    off = _expand(seg_start - live_start[:-1], starts, in_cap, lcap)
+    src = jnp.clip(j + off, 0, b.slot_to_gaussian.shape[0] - 1)
+    valid = j < jnp.minimum(live_demand, lcap)
+    gid = jnp.where(valid, b.slot_to_gaussian[src], num_gaussians)
+    bounds_live = jnp.clip(live_start, 0, lcap)
+    bc = Binning(
+        slot_to_gaussian=gid,
+        bounds=bounds_live,
+        num_keys=jnp.minimum(live_demand, lcap),
+        overflow=b.overflow,
+        num_slots=b.num_slots,
+    )
+    return bc, truncated, live_overflow, live_demand
 
 
 # ---------------------------------------------------------------------------

@@ -40,6 +40,16 @@ class RenderOut(NamedTuple):
     # and re-jit with a larger compact buffer, like key overflow)
     compact_demand: jnp.ndarray
     compact_overflow: jnp.ndarray
+    # temporal-liveness telemetry (pallas backend; binning.compact_live):
+    # live_counts[t] = chunks the forward actually walked in tile t (the
+    # next visit's prefix bound); live_bad[t] = this tile was cut by a
+    # STALE bound (truncated while unsaturated -> the render is wrong and
+    # the step must be skipped); live_overflow/live_demand size the static
+    # compacted-list capacity.
+    live_counts: jnp.ndarray = None
+    live_bad: jnp.ndarray = None
+    live_overflow: jnp.ndarray = None
+    live_demand: jnp.ndarray = None
 
 
 def render(
@@ -60,6 +70,8 @@ def render(
     with_stats: bool = True,
     with_reg: bool = True,
     compact_capacity: int = 0,
+    live_limit_chunks: Optional[jnp.ndarray] = None,
+    live_capacity: int = 0,
 ) -> RenderOut:
     """Render one view.
 
@@ -91,7 +103,14 @@ def render(
 
     if backend == "pallas":
         ntiles = ntx * nty
-        ccap = compact_capacity or rp.compact_capacity_for(capacity, ntiles)
+        use_live = live_limit_chunks is not None and live_capacity > 0
+        if use_live:
+            b_blend, truncated, live_overflow, live_demand = \
+                binning.compact_live(b, live_limit_chunks, live_capacity, P)
+        else:
+            b_blend = b
+        ccap = compact_capacity or rp.compact_capacity_for(
+            int(b_blend.slot_to_gaussian.shape[0]), ntiles)
         meta = rp.RasterMeta(
             ntx=ntx, nty=nty, width=camera.width, height=camera.height,
             interpret=interpret, with_stats=with_stats, with_reg=with_reg,
@@ -99,12 +118,25 @@ def render(
         )
         tile_out = rp.rasterize(
             meta, pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0,
-            pre.conic, pre.mean2d, carrier, camera.focal_x, camera.focal_y, bg, b,
+            pre.conic, pre.mean2d, carrier, camera.focal_x, camera.focal_y, bg,
+            b_blend,
         )
         last = jax.lax.stop_gradient(tile_out[ntiles - 1])
         compact_demand = (last[rp.CH_CSTART, 0]
                           + last[rp.CH_LIVEC, 0] * rp.CHUNK_SIZE).astype(jnp.int32)
         compact_overflow = compact_demand > ccap
+        aux_tiles = jax.lax.stop_gradient(tile_out)
+        live_counts = aux_tiles[:, rp.CH_LIVEC, 0].astype(jnp.int32)
+        if use_live:
+            # a tile cut by a stale bound while any of its pixels was still
+            # unsaturated rendered (and differentiates) wrong — flag it
+            unsat = (jnp.max(aux_tiles[:, rp.CH_TFINAL, :], axis=-1)
+                     >= rp.TRANSMITTANCE_EPS)
+            live_bad = truncated & unsat
+        else:
+            live_bad = jnp.zeros((ntiles,), bool)
+            live_overflow = jnp.zeros((), bool)
+            live_demand = jnp.zeros((), jnp.int32)
     elif backend == "xla":
         payload = tiled_ref.build_payload(pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0, b)
         max_len = int(b.slot_to_gaussian.shape[0])  # static worst case
@@ -114,6 +146,10 @@ def render(
         )
         compact_demand = jnp.zeros((), jnp.int32)
         compact_overflow = jnp.zeros((), bool)
+        live_counts = jnp.zeros((ntx * nty,), jnp.int32)
+        live_bad = jnp.zeros((ntx * nty,), bool)
+        live_overflow = jnp.zeros((), bool)
+        live_demand = jnp.zeros((), jnp.int32)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
@@ -128,4 +164,8 @@ def render(
         overflow=b.overflow,
         compact_demand=compact_demand,
         compact_overflow=compact_overflow,
+        live_counts=live_counts,
+        live_bad=live_bad,
+        live_overflow=live_overflow,
+        live_demand=live_demand,
     )

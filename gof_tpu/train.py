@@ -38,6 +38,7 @@ from . import config as config_lib
 from .data import scene as scene_lib
 from .model import appearance as app_lib
 from .model import gaussians as gm
+from .ops import binning as binning_lib
 from .ops import render as render_lib
 from .ops.blend import pixel_rays
 from .utils import hostio, losses, schedules
@@ -216,8 +217,9 @@ def _dp_grad_step(view_loss, mesh, tp: TrainParams, gstate: gm.GaussianState,
         red = {k: jax.lax.pmean(aux[k], axis) for k in mean_keys}
         for k in ("num_keys", "compact_demand"):
             red[k] = jax.lax.pmax(aux[k], axis)
-        for k in ("key_overflow", "compact_overflow"):
+        for k in ("key_overflow", "compact_overflow", "live_overflow"):
             red[k] = jax.lax.pmax(aux[k].astype(jnp.int32), axis) > 0
+        red["live_demand"] = jax.lax.pmax(aux["live_demand"], axis)
         return loss, grads, stat, radii, red
 
     loss, grads, stat, radii, red = shard_map(
@@ -253,6 +255,7 @@ def build_train_step(
     n_inner: int = 1,
     dp: int = 1,
     mesh=None,
+    live_ntiles: int = 0,
 ):
     """Build the jitted train step.
 
@@ -270,6 +273,11 @@ def build_train_step(
     use_app = model_cfg.use_decoupled_appearance
     backend = pipe.backend
     capacity = pipe.key_capacity
+    # temporal liveness culling (binning.compact_live): per-(camera, tile)
+    # live-prefix bounds ride the scan carry; only meaningful single-device
+    # on the pallas backend, once densification ends
+    use_live = (live_ntiles > 0 and pipe.live_capacity > 0
+                and dp == 1 and backend == "pallas")
     if dp > 1 and mesh is None:
         from .parallel import sharding as shard_lib
 
@@ -277,7 +285,7 @@ def build_train_step(
 
     def step_body(tp: TrainParams, opt_state, gstate: gm.GaussianState,
                   gt: jnp.ndarray, step: jnp.ndarray,
-                  camera: cameras_lib.Camera, bg: jnp.ndarray):
+                  camera: cameras_lib.Camera, bg: jnp.ndarray, lim=None):
         active_degree = jnp.minimum(step // 1000, sh_degree)
 
         def view_loss(tp: TrainParams, carrier, gt, camera):
@@ -291,6 +299,8 @@ def build_train_step(
                 capacity=capacity, backend=backend, interpret=interpret,
                 with_stats=with_stats, with_reg=with_reg,
                 compact_capacity=pipe.compact_capacity,
+                live_limit_chunks=lim if use_live else None,
+                live_capacity=pipe.live_capacity if use_live else 0,
             )
             image = out.image[:3]
             if use_app:
@@ -328,6 +338,9 @@ def build_train_step(
                 "key_overflow": out.overflow, "psnr": losses.psnr(image, gt),
                 "compact_demand": out.compact_demand,
                 "compact_overflow": out.compact_overflow,
+                "live_counts": out.live_counts, "live_bad": out.live_bad,
+                "live_overflow": out.live_overflow,
+                "live_demand": out.live_demand,
             }
             return loss, aux
 
@@ -357,6 +370,13 @@ def build_train_step(
         # host grows the capacity and re-jits right after), keeping the step
         # a no-op instead of training on a truncated list.
         overflow = aux["key_overflow"] | aux["compact_overflow"]
+        live_inv = jnp.zeros((), bool)
+        if use_live:
+            # a stale liveness bound truncated an unsaturated tile (wrong
+            # image/gradients) or the compacted list overflowed: skip the
+            # update and heal the cached bounds
+            live_inv = aux["live_overflow"] | jnp.any(aux["live_bad"])
+            overflow = overflow | live_inv
 
         def gate(old, new):
             return jax.tree.map(
@@ -381,7 +401,19 @@ def build_train_step(
             aux["compact_demand"].astype(jnp.float32),
             aux["compact_overflow"].astype(jnp.float32),
             jnp.sum(gstate.active).astype(jnp.float32),
+            aux["live_demand"].astype(jnp.float32),
+            aux["live_overflow"].astype(jnp.float32),
+            live_inv.astype(jnp.float32),
         ])
+        if use_live and lim is not None:
+            # next visit's per-tile bounds: the measured live prefix plus
+            # margin; exponential growth where the bound proved stale; no
+            # update from an overflowed (garbage) walk
+            lim_c = jnp.minimum(lim, binning_lib.LIM_INF)
+            measured = aux["live_counts"] + binning_lib.LIVE_MARGIN_CHUNKS
+            new_lim = jnp.where(aux["live_bad"], lim_c * 2 + 4, measured)
+            new_lim = jnp.where(aux["live_overflow"], lim_c, new_lim)
+            metrics["live_new_lim"] = new_lim
         return tp, opt_state, gstate, metrics
 
     # Only the (large) gaussian params are donated. Everything else contains
@@ -390,14 +422,17 @@ def build_train_step(
     # donating a shared buffer twice is a runtime error.
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(gauss: gm.GaussianParams, app_net, app_emb, opt_state,
-                   gstate, gt, step, camera, bg):
+                   gstate, gt, step, camera, bg, lim=None):
         tp = TrainParams(gauss=gauss, app_net=app_net, app_emb=app_emb)
-        return step_body(tp, opt_state, gstate, gt, step, camera, bg)
+        return step_body(tp, opt_state, gstate, gt, step, camera, bg, lim=lim)
 
-    def wrapped(tp: TrainParams, opt_state, gstate, gt, step, camera, bg):
-        tp, opt_state, gstate, metrics = train_step(
-            tp.gauss, tp.app_net, tp.app_emb, opt_state, gstate, gt, step, camera, bg
-        )
+    def wrapped(tp: TrainParams, opt_state, gstate, gt, step, camera, bg,
+                lim=None):
+        args = (tp.gauss, tp.app_net, tp.app_emb, opt_state, gstate, gt,
+                step, camera, bg)
+        tp, opt_state, gstate, metrics = (
+            train_step(*args, lim=lim) if use_live and lim is not None
+            else train_step(*args))
         # metrics["step_next"] = step + 1 rides the jit so the loop keeps
         # its counter ON DEVICE: a per-iteration host->device scalar
         # transfer through the TPU tunnel blocks for a full RTT
@@ -411,28 +446,43 @@ def build_train_step(
     # of single-core host time (arg-handle serialization); at ~25ms device
     # steps that dominates wall clock. The window indexes its cameras and
     # gt images on device from stacked arrays.
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,) + ((10,) if use_live else ()))
     def multi_step(gauss, app_net, app_emb, opt_state, gstate,
-                   gt_stack, cam_ids, step0, cam_stack, bg):
+                   gt_stack, cam_ids, step0, cam_stack, bg, live_cache=None):
         def body(carry, i):
-            tp, opt_state, gstate, step = carry
+            if use_live:
+                tp, opt_state, gstate, step, live_cache = carry
+            else:
+                tp, opt_state, gstate, step = carry
             cid = cam_ids[i]
             camera = jax.tree.map(lambda x: x[cid], cam_stack)
             gt = gt_stack[cid]
+            lim = live_cache[cid] if use_live else None
             tp, opt_state, gstate, metrics = step_body(
-                tp, opt_state, gstate, gt, step, camera, bg)
-            return (tp, opt_state, gstate, step + 1), metrics["packed"]
+                tp, opt_state, gstate, gt, step, camera, bg, lim=lim)
+            if use_live:
+                live_cache = live_cache.at[cid].set(metrics["live_new_lim"])
+                carry = (tp, opt_state, gstate, step + 1, live_cache)
+            else:
+                carry = (tp, opt_state, gstate, step + 1)
+            return carry, metrics["packed"]
 
         tp0 = TrainParams(gauss=gauss, app_net=app_net, app_emb=app_emb)
-        (tp, opt_state, gstate, step_next), packed = jax.lax.scan(
-            body, (tp0, opt_state, gstate, step0), jnp.arange(n_inner))
-        return tp, opt_state, gstate, {"packed_all": packed,
-                                       "step_next": step_next}
+        carry0 = ((tp0, opt_state, gstate, step0, live_cache) if use_live
+                  else (tp0, opt_state, gstate, step0))
+        carry, packed = jax.lax.scan(body, carry0, jnp.arange(n_inner))
+        out = {"packed_all": packed, "step_next": carry[3]}
+        if use_live:
+            out["live_cache"] = carry[4]
+        return carry[0], carry[1], carry[2], out
 
     def wrapped_multi(tp, opt_state, gstate, gt_stack, cam_ids, step0,
-                      cam_stack, bg):
-        return multi_step(tp.gauss, tp.app_net, tp.app_emb, opt_state, gstate,
-                          gt_stack, cam_ids, step0, cam_stack, bg)
+                      cam_stack, bg, live_cache=None):
+        args = (tp.gauss, tp.app_net, tp.app_emb, opt_state, gstate,
+                gt_stack, cam_ids, step0, cam_stack, bg)
+        if use_live:
+            return multi_step(*args, live_cache)
+        return multi_step(*args)
 
     return wrapped_multi
 
@@ -568,10 +618,18 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
             n = _math.gcd(n, debug_image_interval)
         return max(n, 1)
 
+    from .constants import TILE_W as _TILE_W
+    ntiles_max = max((-(-cw // _TILE_W)) * (-(-ch // _TILE_W))
+                     for cw, ch in (sc._scaled_size(c) for c in sc.train_cameras))
+    live_cache = None  # [ncams, ntiles] per-tile live-prefix bounds (chunks)
+    live_peak = 0
+
     def rebuild_step():
         return build_train_step(opt, model_cfg, pipe, tx, interpret=interpret,
                                 with_stats=with_stats, with_reg=with_reg,
-                                n_inner=n_inner, dp=dp, mesh=mesh)
+                                n_inner=n_inner, dp=dp, mesh=mesh,
+                                live_ntiles=(ntiles_max if live_cache is not None
+                                             else 0))
 
     train_step = rebuild_step()
     densify_fn = jax.jit(
@@ -614,9 +672,6 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
     ema_loss = None
     compact_peak = 0
     key_peak = 0
-    from .constants import TILE_W
-    ntiles_max = max((-(-cw // TILE_W)) * (-(-ch // TILE_W))
-                     for cw, ch in (sc._scaled_size(c) for c in sc.train_cameras))
     step_dev = None  # device-resident iteration counter (seeded lazily)
     pending_metrics = []  # unread per-window packed metrics (device arrays)
     t_start = time.time()
@@ -657,6 +712,23 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
         if not with_reg and iteration >= reg_start:
             with_reg = True
             train_step = None
+        # Enable temporal liveness culling once densification is over: the
+        # per-(camera, tile) saturation prefixes are stable from here on
+        # (no clones/splits/opacity resets), so keys past the previous
+        # visit's live prefix (+margin) are image-exactly dead. Start at
+        # live_capacity == key_capacity (no shrink win yet) so first visits
+        # with unbounded limits can measure; the telemetry right-sizes it
+        # down within ~2 windows.
+        if (live_cache is None and dp == 1 and pipe.backend == "pallas"
+                and not interpret and n_inner > 1
+                and win_start > opt.densify_until_iter):
+            pipe.live_capacity = pipe.key_capacity
+            live_cache = jnp.full((len(sc.train_cameras), ntiles_max),
+                                  binning_lib.LIM_INF, jnp.int32)
+            train_step = None
+            if not quiet:
+                print(f"[{iteration}] liveness culling on "
+                      f"(live_capacity {pipe.live_capacity})")
         if train_step is None:
             train_step = rebuild_step()
 
@@ -693,8 +765,10 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
                 ids = ids[:, 0]  # scalar per scan step, as before
             tp, opt_state, gstate, metrics = train_step(
                 tp, opt_state, gstate, gt_stack,
-                jnp.asarray(ids), step_dev, cam_stack, bg
+                jnp.asarray(ids), step_dev, cam_stack, bg,
+                live_cache=live_cache,
             )
+            live_cache = metrics.pop("live_cache", live_cache)
             # last window camera, for the optional debug-image dump below
             # (views from the stacks — no second device copy via cam_cache)
             camera = jax.tree.map(lambda x: x[id_list[-1]], cam_stack)
@@ -787,6 +861,18 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
                 # to 1.5x peak demand (opacity resets spike it transiently)
                 pipe.compact_capacity = -(-max(int(compact_peak * 1.35), 65536)
                                           // 65536) * 65536
+            if live_cache is not None:
+                live_peak = max(live_peak, int(mp[:, 7].max()))
+                if mp[:, 8].max() > 0:  # compacted-list overflow
+                    need = int(mp[:, 7].max())
+                    new_lc = max(int(need * 1.25),
+                                 int(pipe.live_capacity * 1.25))
+                    pipe.live_capacity = min(
+                        -(-new_lc // 65536) * 65536, pipe.key_capacity)
+                    rebuild = True
+                    if not quiet:
+                        print(f"[{iteration}] live capacity grew to "
+                              f"{pipe.live_capacity} (demand {need})")
             key_peak = max(key_peak, int(m_keys))
             if not rebuild and iteration % 500 == 0:
                 # Right-size DOWN: every capacity-proportional stage (sort,
@@ -799,16 +885,24 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
                 cc_eff = pipe.compact_capacity or (
                     pipe.key_capacity + ntiles_max * 128)
                 want_cc = align(compact_peak * 1.35, 65536)
+                want_lv = 0
+                if live_cache is not None and live_peak > 0:
+                    want_lv = align(live_peak * 1.3, 131072)
                 if (want_kc * 1.3 < pipe.key_capacity
-                        or want_cc * 1.3 < cc_eff):
+                        or want_cc * 1.3 < cc_eff
+                        or (want_lv and want_lv * 1.3 < pipe.live_capacity)):
                     pipe.key_capacity = min(want_kc, pipe.key_capacity)
                     pipe.compact_capacity = min(want_cc, cc_eff)
+                    if want_lv:
+                        pipe.live_capacity = min(want_lv, pipe.live_capacity)
                     rebuild = True
                     if not quiet:
                         print(f"[{iteration}] right-sized capacities: keys "
-                              f"{pipe.key_capacity} compact {pipe.compact_capacity}")
+                              f"{pipe.key_capacity} compact {pipe.compact_capacity}"
+                              f" live {pipe.live_capacity}")
                 key_peak = 0
                 compact_peak = 0
+                live_peak = 0
             if rebuild:
                 train_step = rebuild_step()
                 # re-persist the config so post-hoc tools (render_cli,

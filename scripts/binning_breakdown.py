@@ -5,8 +5,7 @@ one [CAP] attrs gather -> (tile, depth, id) 3-key sort -> bisection bounds).
 import argparse
 import time
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import _path  # noqa: F401,E402  (repo-root bootstrap)
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,8 +1,7 @@
 """Probe the compact-gid construction components at late scale."""
 import time
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import _path  # noqa: F401,E402  (repo-root bootstrap)
 import jax
 import jax.numpy as jnp
 import numpy as np

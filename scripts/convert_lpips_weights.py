@@ -11,7 +11,7 @@ import argparse
 import hashlib
 import sys
 
-sys.path.insert(0, ".")
+import _path  # noqa: F401,E402  (repo-root bootstrap)
 
 from gof_tpu.utils.lpips import convert_torch_weights  # noqa: E402
 

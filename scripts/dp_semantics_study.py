@@ -15,7 +15,7 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-sys.path.insert(0, ".")
+import _path  # noqa: F401,E402  (repo-root bootstrap)
 
 import jax.numpy as jnp
 import numpy as np

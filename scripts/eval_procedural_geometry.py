@@ -15,7 +15,7 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import _path  # noqa: F401,E402  (repo-root bootstrap)
 
 from gof_tpu.eval import geometry as geo  # noqa: E402
 from gof_tpu.utils import ply  # noqa: E402

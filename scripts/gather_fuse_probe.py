@@ -3,8 +3,7 @@ one gather), multi-operand [P] sorts (attrs carried through the class sort
 instead of a separate gather)."""
 import time
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import _path  # noqa: F401,E402  (repo-root bootstrap)
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -5,8 +5,7 @@ readback, slope between N=2 and N=10."""
 import argparse
 import time
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import _path  # noqa: F401,E402  (repo-root bootstrap)
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +14,9 @@ from gof_tpu import cameras
 from gof_tpu.ops import binning, quadrics
 from gof_tpu.ops import rasterize_pallas as rp
 from gof_tpu.sh import rgb_to_sh_dc
+from gof_tpu.utils import compile_cache
+
+compile_cache.enable()
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--gaussians", type=int, default=1_000_000)

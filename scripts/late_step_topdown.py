@@ -9,13 +9,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+import _path  # noqa: F401,E402  (repo-root bootstrap)
 from bench import make_state  # noqa: E402
 
 from gof_tpu import cameras, config as config_lib, train as train_lib  # noqa: E402
 from gof_tpu.model import gaussians as gm  # noqa: E402
 from gof_tpu.ops import render as render_lib  # noqa: E402
 from gof_tpu.utils import losses  # noqa: E402
+from gof_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
 
 N = 1_000_000
 W, H = 1237, 822

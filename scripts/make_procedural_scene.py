@@ -314,7 +314,7 @@ def main():
     from PIL import Image
 
     import sys
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import _path  # noqa: F401,E402  (repo-root bootstrap)
     from gof_tpu.utils import ply
 
     os.makedirs(args.out, exist_ok=True)

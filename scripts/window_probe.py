@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+import _path  # noqa: F401,E402  (repo-root bootstrap)
 from bench import make_state  # noqa: E402
 
 from gof_tpu import cameras, config as config_lib, train as train_lib  # noqa: E402

@@ -310,3 +310,50 @@ class TestTiledRenderer:
         diff = np.abs(np.asarray(img_tiled[:3]) - np.asarray(ref.image[:3]))
         assert diff.max() < 0.05
         assert diff.mean() < 2e-3
+
+
+class TestClassGatherKernel:
+    """The windowed indicator-matmul gather (class_gather.py) must be
+    bit-identical to the XLA gather it replaces, including float bit
+    patterns riding int32 columns."""
+
+    def _random_monotone_gidx(self, rng, cap, P):
+        steps = (rng.random(cap) < min(1.0, P / cap)).astype(np.int32)
+        steps[0] = 0
+        return jnp.asarray(np.minimum(np.cumsum(steps), P - 1), jnp.int32)
+
+    @pytest.mark.parametrize("cap,P", [(2048, 700), (5000, 4999), (1024, 1)])
+    def test_interpret_matches_xla(self, rng, cap, P):
+        from gof_tpu.ops import class_gather
+
+        gidx = self._random_monotone_gidx(rng, cap, P)
+        cols = [
+            (jnp.asarray(rng.integers(-2**31, 2**31, P, dtype=np.int64)
+                         .astype(np.int32)), 4),
+            (jnp.asarray(rng.integers(0, 2**16, P).astype(np.int32)), 2),
+            (jnp.asarray(rng.integers(0, 2**24, P).astype(np.int32)), 3),
+            (jax.lax.bitcast_convert_type(
+                jnp.asarray(rng.standard_normal(P), jnp.float32), jnp.int32), 4),
+        ]
+        want = class_gather.expand(cols, gidx, P, force="xla")
+        got = class_gather.expand(cols, gidx, P, force="interpret")
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+    def test_binning_with_interpret_kernel_matches(self, rng):
+        """Full bin_gaussians parity: interpret-mode kernel vs XLA gather."""
+        means, scales, rots, opac, shs, cam = make_scene(rng, n=120)
+        pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
+        ntx, nty = binning.tile_grid(cam.width, cam.height)
+        rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid,
+                                       ntx, nty, radius_xy=pre.radius_xy)
+        kw = dict(mean2d=pre.mean2d, radius=pre.radius)
+        b_x = binning.bin_gaussians(pre.depth, rects, ntx, nty, 4096,
+                                    gather_force="xla", **kw)
+        b_k = binning.bin_gaussians(pre.depth, rects, ntx, nty, 4096,
+                                    gather_force="interpret", **kw)
+        np.testing.assert_array_equal(np.asarray(b_x.slot_to_gaussian),
+                                      np.asarray(b_k.slot_to_gaussian))
+        np.testing.assert_array_equal(np.asarray(b_x.bounds),
+                                      np.asarray(b_k.bounds))
+        assert int(b_x.num_keys) == int(b_k.num_keys)

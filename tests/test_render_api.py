@@ -86,3 +86,80 @@ class TestRenderAPI:
         img_wide, nk_wide = img_with(None)
         assert nk_tight <= nk_wide
         np.testing.assert_allclose(img_tight[:9], img_wide[:9], atol=2e-2, rtol=1e-3)
+
+
+class TestLivenessCulling:
+    """Temporal liveness compaction (binning.compact_live): bit-identical
+    render when bounds are valid, flagged when they are stale."""
+
+    def test_compact_live_unbounded_is_identity(self, rng):
+        from gof_tpu.ops import binning as b_lib
+
+        means, scales, rots, opac, shs, cam = scene(rng, n=64)
+        from gof_tpu.ops import quadrics
+        pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
+        ntx, nty = b_lib.tile_grid(cam.width, cam.height)
+        rects = b_lib.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+        b = b_lib.bin_gaussians(pre.depth, rects, ntx, nty, 2048)
+        lim = jnp.full((ntx * nty,), b_lib.LIM_INF, jnp.int32)
+        bc, truncated, ov, demand = b_lib.compact_live(b, lim, 2048, 64)
+        assert not bool(ov)
+        assert not bool(truncated.any())
+        assert int(demand) == int(b.num_keys)
+        np.testing.assert_array_equal(np.asarray(bc.bounds), np.asarray(b.bounds))
+        nk = int(b.num_keys)
+        np.testing.assert_array_equal(
+            np.asarray(bc.slot_to_gaussian[:nk]),
+            np.asarray(b.slot_to_gaussian[:nk]))
+
+    def test_compact_live_prefixes(self, rng):
+        from gof_tpu.ops import binning as b_lib
+
+        means, scales, rots, opac, shs, cam = scene(rng, n=64)
+        from gof_tpu.ops import quadrics
+        pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
+        ntx, nty = b_lib.tile_grid(cam.width, cam.height)
+        rects = b_lib.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty)
+        b = b_lib.bin_gaussians(pre.depth, rects, ntx, nty, 2048)
+        ntiles = ntx * nty
+        lim = jnp.asarray(rng.integers(0, 3, ntiles), jnp.int32)
+        bc, truncated, ov, demand = b_lib.compact_live(b, lim, 2048, 64)
+        sb, sl = np.asarray(b.bounds), np.asarray(b.slot_to_gaussian)
+        cb, cl = np.asarray(bc.bounds), np.asarray(bc.slot_to_gaussian)
+        limn = np.asarray(lim) * b_lib.CHUNK_SIZE
+        for t in range(ntiles):
+            seg = sl[sb[t]: sb[t + 1]]
+            want = seg[: limn[t]]
+            got = cl[cb[t]: cb[t + 1]]
+            np.testing.assert_array_equal(want, got)
+            assert bool(np.asarray(truncated)[t]) == (len(seg) > limn[t])
+
+    def test_render_with_warm_bounds_is_bit_identical(self, rng):
+        means, scales, rots, opac, shs, cam = scene(rng, n=48)
+        bg = jnp.array([0.1, 0.2, 0.3])
+        kw = dict(capacity=2048, backend="pallas", interpret=True)
+        full = render_lib.render(cam, means, scales, rots, opac, shs, 0, 0.1,
+                                 bg, **kw)
+        lim = full.live_counts + 2
+        out = render_lib.render(cam, means, scales, rots, opac, shs, 0, 0.1,
+                                bg, live_limit_chunks=lim, live_capacity=2048,
+                                **kw)
+        assert not bool(out.live_bad.any())
+        assert not bool(out.live_overflow)
+        np.testing.assert_array_equal(np.asarray(full.image), np.asarray(out.image))
+
+    def test_stale_bound_is_flagged(self, rng):
+        means, scales, rots, opac, shs, cam = scene(rng, n=400)
+        # translucent gaussians: tiles do NOT saturate, so a tight bound
+        # must trip the truncated & unsaturated detector
+        opac = opac * 0.2
+        bg = jnp.array([0.1, 0.2, 0.3])
+        kw = dict(capacity=4096, backend="pallas", interpret=True)
+        full = render_lib.render(cam, means, scales, rots, opac, shs, 0, 0.1,
+                                 bg, **kw)
+        assert int(full.live_counts.max()) >= 2  # a tile with >= 2 chunks?
+        lim = jnp.maximum(full.live_counts - 1, 0)
+        out = render_lib.render(cam, means, scales, rots, opac, shs, 0, 0.1,
+                                bg, live_limit_chunks=lim, live_capacity=4096,
+                                **kw)
+        assert bool(out.live_bad.any())
