@@ -213,15 +213,30 @@ def read_multiscale_scene(path: str, white_background: bool,
 
     train = read_split("train", load_allres)
     test = read_split("test", True) if "test" in meta else []
-    rng = np.random.default_rng(0)
-    n = 100_000
-    xyz = (rng.random((n, 3), dtype=np.float32) * 2.6 - 1.3).astype(np.float32)
-    rgb = rng.random((n, 3)).astype(np.float32)
+    ply_path = os.path.join(path, "points3d.ply")
+    if os.path.exists(ply_path):
+        # optional explicit init cloud (same extension as the Blender
+        # reader above; the real multi-scale datasets ship none)
+        from ..utils import ply as ply_lib
+
+        verts, _ = ply_lib.read_ply(ply_path)
+        xyz = np.stack([verts["x"], verts["y"], verts["z"]], -1).astype(np.float32)
+        if "red" in verts:
+            rgb = np.stack([verts["red"], verts["green"], verts["blue"]], -1).astype(np.float32)
+            if rgb.max() > 1.5:
+                rgb = rgb / 255.0
+        else:
+            rgb = np.full_like(xyz, 0.5)
+    else:
+        rng = np.random.default_rng(0)
+        n = 100_000
+        xyz = (rng.random((n, 3), dtype=np.float32) * 2.6 - 1.3).astype(np.float32)
+        rgb = rng.random((n, 3)).astype(np.float32)
     return SceneInfo(
         point_cloud_xyz=xyz, point_cloud_rgb=rgb,
         train_cameras=train, test_cameras=test,
         nerf_normalization=_nerfpp_norm(train),
-        ply_path=os.path.join(path, "points3d.ply"),
+        ply_path=ply_path,
     )
 
 

@@ -129,9 +129,18 @@ def render(
         live_counts = aux_tiles[:, rp.CH_LIVEC, 0].astype(jnp.int32)
         if use_live:
             # a tile cut by a stale bound while any of its pixels was still
-            # unsaturated rendered (and differentiates) wrong — flag it
-            unsat = (jnp.max(aux_tiles[:, rp.CH_TFINAL, :], axis=-1)
-                     >= rp.TRANSMITTANCE_EPS)
+            # unsaturated rendered (and differentiates) wrong — flag it.
+            # Out-of-image padding pixels of edge tiles are masked out of the
+            # transmittance max: they never saturate (nothing blends there),
+            # and counting them would flag an exact edge-tile render as bad,
+            # permanently losing culling on that tile.
+            t_idx = jnp.arange(ntiles, dtype=jnp.int32)
+            p_idx = jnp.arange(aux_tiles.shape[-1], dtype=jnp.int32)
+            gy = ((t_idx // ntx) * binning.TILE_H)[:, None] + (p_idx // binning.TILE_W)[None, :]
+            gx = ((t_idx % ntx) * binning.TILE_W)[:, None] + (p_idx % binning.TILE_W)[None, :]
+            in_img = (gy < camera.height) & (gx < camera.width)
+            tfin = jnp.where(in_img, aux_tiles[:, rp.CH_TFINAL, :], 0.0)
+            unsat = jnp.max(tfin, axis=-1) >= rp.TRANSMITTANCE_EPS
             live_bad = truncated & unsat
         else:
             live_bad = jnp.zeros((ntiles,), bool)

@@ -287,6 +287,14 @@ def build_train_step(
                   gt: jnp.ndarray, step: jnp.ndarray,
                   camera: cameras_lib.Camera, bg: jnp.ndarray, lim=None):
         active_degree = jnp.minimum(step // 1000, sh_degree)
+        ntiles_cam = 0
+        if use_live and lim is not None:
+            # the cache rows are sized for the LARGEST camera (live_ntiles);
+            # this camera's tile grid may be smaller (mixed-resolution
+            # scenes train in per-resolution groups) — static slice
+            _ntx, _nty = binning_lib.tile_grid(camera.width, camera.height)
+            ntiles_cam = _ntx * _nty
+            lim = lim[:ntiles_cam]
 
         def view_loss(tp: TrainParams, carrier, gt, camera):
             g = tp.gauss
@@ -412,7 +420,21 @@ def build_train_step(
             lim_c = jnp.minimum(lim, binning_lib.LIM_INF)
             measured = aux["live_counts"] + binning_lib.LIVE_MARGIN_CHUNKS
             new_lim = jnp.where(aux["live_bad"], lim_c * 2 + 4, measured)
-            new_lim = jnp.where(aux["live_overflow"], lim_c, new_lim)
+            # key/compact-overflow steps walked a truncated/garbage list —
+            # their measured live counts are meaningless, so keep the old
+            # bound for ANY invalid step, not just live_overflow (otherwise
+            # a capacity-growth step poisons the cache with too-small bounds
+            # and triggers a burst of detected-stale skips right after)
+            invalid_walk = (aux["key_overflow"] | aux["compact_overflow"]
+                            | aux["live_overflow"])
+            new_lim = jnp.where(invalid_walk, lim_c, new_lim)
+            if live_ntiles and ntiles_cam < live_ntiles:
+                # pad back to the cache row width; the pad entries are never
+                # consumed for this camera (sliced off above next visit)
+                new_lim = jnp.concatenate([
+                    new_lim,
+                    jnp.full((live_ntiles - ntiles_cam,), binning_lib.LIM_INF,
+                             jnp.int32)])
             metrics["live_new_lim"] = new_lim
         return tp, opt_state, gstate, metrics
 
@@ -448,7 +470,8 @@ def build_train_step(
     # gt images on device from stacked arrays.
     @functools.partial(jax.jit, donate_argnums=(0,) + ((10,) if use_live else ()))
     def multi_step(gauss, app_net, app_emb, opt_state, gstate,
-                   gt_stack, cam_ids, step0, cam_stack, bg, live_cache=None):
+                   gt_stack, cam_ids, step0, cam_stack, bg, live_cache=None,
+                   gid_map=None):
         def body(carry, i):
             if use_live:
                 tp, opt_state, gstate, step, live_cache = carry
@@ -457,11 +480,15 @@ def build_train_step(
             cid = cam_ids[i]
             camera = jax.tree.map(lambda x: x[cid], cam_stack)
             gt = gt_stack[cid]
-            lim = live_cache[cid] if use_live else None
+            # mixed-resolution scenes pass per-resolution-group stacks; cid
+            # is group-local while the liveness cache stays indexed by the
+            # GLOBAL camera id (gid_map: local -> global)
+            gid = cid if gid_map is None else gid_map[cid]
+            lim = live_cache[gid] if use_live else None
             tp, opt_state, gstate, metrics = step_body(
                 tp, opt_state, gstate, gt, step, camera, bg, lim=lim)
             if use_live:
-                live_cache = live_cache.at[cid].set(metrics["live_new_lim"])
+                live_cache = live_cache.at[gid].set(metrics["live_new_lim"])
                 carry = (tp, opt_state, gstate, step + 1, live_cache)
             else:
                 carry = (tp, opt_state, gstate, step + 1)
@@ -477,12 +504,12 @@ def build_train_step(
         return carry[0], carry[1], carry[2], out
 
     def wrapped_multi(tp, opt_state, gstate, gt_stack, cam_ids, step0,
-                      cam_stack, bg, live_cache=None):
+                      cam_stack, bg, live_cache=None, gid_map=None):
         args = (tp.gauss, tp.app_net, tp.app_emb, opt_state, gstate,
                 gt_stack, cam_ids, step0, cam_stack, bg)
         if use_live:
-            return multi_step(*args, live_cache)
-        return multi_step(*args)
+            return multi_step(*args, live_cache, gid_map=gid_map)
+        return multi_step(*args, gid_map=gid_map)
 
     return wrapped_multi
 
@@ -594,11 +621,22 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
     n_inner = 10
     for c in cadences:
         n_inner = _math.gcd(n_inner, c)
-    if len({sc._scaled_size(c) for c in sc.train_cameras}) > 1:
-        n_inner = 1
     if first_iter % max(n_inner, 1) != 0:
         n_inner = 1
     n_inner = max(n_inner, 1)
+
+    # Mixed camera resolutions (load_allres multi-scale scenes) train in
+    # per-resolution GROUPS: every scan window draws all its cameras from
+    # one group (jit needs uniform image shapes per dispatch), groups are
+    # interleaved across windows proportionally to their camera counts, so
+    # each camera's marginal visit frequency matches the reference's
+    # uniform shuffled-epoch sampling (train.py:135-141) while scan
+    # windows and liveness culling stay enabled.
+    _res_groups: dict = {}
+    for _i, _c in enumerate(sc.train_cameras):
+        _res_groups.setdefault(sc._scaled_size(_c), []).append(_i)
+    res_group_ids = [np.asarray(v, np.int32) for v in _res_groups.values()]
+    multi_res = len(res_group_ids) > 1
 
     specials = sorted(set(
         int(i) for i in list(test_iterations) + list(save_iterations)
@@ -656,13 +694,43 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
                    if sc._scaled_size(c)[0] >= 800]
 
     cam_stack = gt_stack = None
-    if n_inner > 1:
+    group_stacks = None  # [(cam_stack, gt_stack, gid_map, local_queue)] per group
+    group_credit = None
+    group_weight = None
+    if n_inner > 1 and not multi_res:
         # device-resident stacks the scan window indexes per step; built
         # from host arrays directly (populating cam_cache too would hold a
         # second full-resolution copy of every view in HBM)
         cams_l, gts_l = zip(*(sc.camera(i) for i in sc.train_cameras))
         cam_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *cams_l)
         gt_stack = jnp.asarray(np.stack([np.asarray(g) for g in gts_l]))
+    elif n_inner > 1:
+        # per-resolution-group stacks + proportional interleave scheduler
+        group_stacks = []
+        for gids in res_group_ids:
+            cams_l, gts_l = zip(*(sc.camera(sc.train_cameras[int(i)])
+                                  for i in gids))
+            group_stacks.append((
+                jax.tree.map(lambda *xs: jnp.stack(xs), *cams_l),
+                jnp.asarray(np.stack([np.asarray(g) for g in gts_l])),
+                jnp.asarray(gids),
+                [],  # local shuffled id queue (refilled per group-epoch)
+            ))
+        n_total = sum(len(g) for g in res_group_ids)
+        group_weight = np.asarray(
+            [len(g) / n_total for g in res_group_ids], np.float64)
+        if model_cfg.sample_more_highres and highres_ids:
+            # fold the 30% high-res oversampling (reference
+            # train.py:139-141) into the group interleave: a size group is
+            # uniformly >= 800px wide or not, so the per-camera marginal
+            # 0.7/N + 0.3*[hr]/N_hr sums per group to the weights below
+            hr = np.asarray([1.0 if sc._scaled_size(
+                sc.train_cameras[int(g[0])])[0] >= 800 else 0.0
+                for g in res_group_ids])
+            sizes = np.asarray([len(g) for g in res_group_ids], np.float64)
+            n_hr = float((sizes * hr).sum())
+            group_weight = 0.7 * sizes / n_total + 0.3 * sizes * hr / n_hr
+        group_credit = np.zeros(len(group_stacks), np.float64)
 
     log_path = os.path.join(model_cfg.model_path, "train_log.jsonl")
     logf = open(log_path, "a")
@@ -758,7 +826,7 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
             tp, opt_state, gstate, metrics = train_step(
                 tp, opt_state, gstate, gt, step_dev, camera, bg
             )
-        else:
+        elif group_stacks is None:
             id_list = [next_id() for _ in range(n_inner * dp)]
             ids = np.asarray(id_list, np.int32).reshape(n_inner, dp)
             if dp == 1:
@@ -773,6 +841,31 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
             # (views from the stacks — no second device copy via cam_cache)
             camera = jax.tree.map(lambda x: x[id_list[-1]], cam_stack)
             gt = gt_stack[id_list[-1]]
+        else:
+            # mixed resolutions: whole window from ONE group; groups
+            # interleave by a deficit-credit scheduler so visit frequency
+            # per camera matches the uniform(-plus-highres) marginal
+            group_credit += group_weight * (n_inner * dp)
+            gsel = int(np.argmax(group_credit))
+            group_credit[gsel] -= n_inner * dp
+            cam_stack_g, gt_stack_g, gid_map_g, queue_g = group_stacks[gsel]
+            ng = len(res_group_ids[gsel])
+            id_list = []
+            for _ in range(n_inner * dp):
+                if not queue_g:
+                    queue_g.extend(random.sample(range(ng), ng))
+                id_list.append(queue_g.pop())
+            ids = np.asarray(id_list, np.int32).reshape(n_inner, dp)
+            if dp == 1:
+                ids = ids[:, 0]
+            tp, opt_state, gstate, metrics = train_step(
+                tp, opt_state, gstate, gt_stack_g,
+                jnp.asarray(ids), step_dev, cam_stack_g, bg,
+                live_cache=live_cache, gid_map=gid_map_g,
+            )
+            live_cache = metrics.pop("live_cache", live_cache)
+            camera = jax.tree.map(lambda x: x[id_list[-1]], cam_stack_g)
+            gt = gt_stack_g[id_list[-1]]
         step_dev = metrics["step_next"]
 
         # --- host control flow (train.py:237-278) ---
@@ -809,7 +902,7 @@ def training(model_cfg: config_lib.ModelParams, opt: config_lib.OptimizationPara
         if iteration % 10 == 0 or iteration == first_iter + n_inner:
             # single batched readback (see metrics["packed"])
             mp = np.concatenate([np.atleast_2d(np.asarray(m))
-                                 for m in pending_metrics], axis=0)  # [k, 7]
+                                 for m in pending_metrics], axis=0)  # [k, 10]
             pending_metrics.clear()
             m_loss, m_psnr, m_points = mp[-1, 0], mp[-1, 1], mp[-1, 6]
             m_keys, m_key_ov = mp[:, 2].max(), mp[:, 3].max()

@@ -2,6 +2,7 @@
 time the production step, then variants with components removed, to expose
 costs the bottom-up stage timings miss (loss assembly, preprocess VJP,
 optimizer, gating)."""
+import argparse
 import sys
 import time
 
@@ -20,14 +21,22 @@ from gof_tpu.utils import compile_cache  # noqa: E402
 
 compile_cache.enable()
 
-N = 1_000_000
+ap = argparse.ArgumentParser()
+ap.add_argument("--gaussians", type=int, default=1_000_000)
+ap.add_argument("--capacity", type=int, default=3_670_016)
+ap.add_argument("--compact-cap", type=int, default=458_752)
+ap.add_argument("--sigma", type=float, default=-4.3)
+ap.add_argument("--reps", type=int, default=10)
+args = ap.parse_args()
+
+N = args.gaussians
 W, H = 1237, 822
-CAP = 3_670_016
-CCAP = 458_752
-REPS = 10
+CAP = args.capacity
+CCAP = args.compact_cap
+REPS = args.reps
 
 rng = np.random.default_rng(1)
-params, gstate = make_state(N, rng, sigma=-4.3)
+params, gstate = make_state(N, rng, sigma=args.sigma)
 cam = cameras.look_at_camera(eye=(0, 0, 0), target=(0, 0, 5.0), width=W, height=H)
 gt = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
 bg = jnp.zeros(3)

@@ -96,6 +96,60 @@ def test_lpips_matches_torch_random_weights(tmp_path):
     assert abs(float(fn(img0, img0))) < 1e-6
 
 
+def test_lpips_converter_roundtrip(tmp_path):
+    """Round-trip through the OFFLINE converter (convert_torch_weights):
+    a randomly-initialized torch VGG16 state_dict + LPIPS lin-head .pth ->
+    .npz -> lpips_fn must match the hand-written torch forward bit-for-
+    tolerance. Proves the converter's key filtering/layout end to end
+    without pretrained weights (reference checkpoints:
+    lpipsPyTorch/modules/lpips.py:20-61)."""
+    import torch
+
+    from gof_tpu.utils import lpips as lp
+
+    rng = np.random.default_rng(3)
+    # same tensors the torchvision vgg16 state_dict carries for .features,
+    # plus classifier keys the converter must DROP
+    data = {}
+    cin = 3
+    ci = 0
+    for ch, n_layers in BLOCKS:
+        for _ in range(n_layers):
+            data[f"features.{CONV_IDS[ci]}.weight"] = rng.normal(
+                0, 0.2, (ch, cin, 3, 3)).astype(np.float32)
+            data[f"features.{CONV_IDS[ci]}.bias"] = rng.normal(
+                0, 0.1, (ch,)).astype(np.float32)
+            cin = ch
+            ci += 1
+    vgg_sd = {k: torch.tensor(v) for k, v in data.items()}
+    vgg_sd["classifier.0.weight"] = torch.zeros(4096, 25088)
+    vgg_sd["classifier.0.bias"] = torch.zeros(4096)
+    lin_sd = {}
+    for k, ch in enumerate(TAP_CH):
+        w = np.abs(rng.normal(0, 0.05, (1, ch, 1, 1))).astype(np.float32)
+        data[f"lin{k}.model.1.weight"] = w
+        lin_sd[f"lin{k}.model.1.weight"] = torch.tensor(w)
+
+    vgg_pth = str(tmp_path / "vgg16.pth")
+    lin_pth = str(tmp_path / "lin.pth")
+    out_npz = str(tmp_path / "lpips.npz")
+    torch.save(vgg_sd, vgg_pth)
+    torch.save(lin_sd, lin_pth)
+    lp.convert_torch_weights(vgg_pth, lin_pth, out_npz)
+
+    loaded = dict(np.load(out_npz))
+    assert not any(k.startswith("classifier") for k in loaded)
+    assert set(loaded) == set(data), "converted npz key set mismatch"
+
+    img0 = rng.uniform(0, 1, (3, 32, 32)).astype(np.float32)
+    img1 = np.clip(img0 + rng.normal(0, 0.1, img0.shape).astype(np.float32), 0, 1)
+    fn = lp.lpips_fn(out_npz)
+    assert fn is not None
+    got = float(fn(img0, img1))
+    want = torch_lpips(data, torch.tensor(img0)[None], torch.tensor(img1)[None])
+    assert abs(got - want) < 1e-4 * max(1.0, abs(want))
+
+
 def test_lpips_fn_missing_weights_returns_none():
     from gof_tpu.utils import lpips as lp
 

@@ -13,13 +13,21 @@ from gof_tpu import train as train_lib
 from gof_tpu.data import scene as scene_lib
 from gof_tpu.model import appearance as app_lib
 
-from make_synthetic_scene import make_scene
+from make_synthetic_scene import make_multiscale_scene, make_scene
 
 
 @pytest.fixture(scope="module")
 def synth_scene(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("synth"))
     make_scene(root, n_gaussians=16, n_views=8, size=64)
+    return root
+
+
+@pytest.fixture(scope="module")
+def multiscale_scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ms"))
+    make_multiscale_scene(root, n_gaussians=16, n_views=4, base_size=64,
+                          n_scales=2)
     return root
 
 
@@ -112,6 +120,57 @@ class TestTrainE2E:
             os.path.join(model_cfg.model_path, "chkpnt30.pkl")
         )
         assert it == 30
+
+
+class TestMultiResolution:
+    @pytest.mark.slow
+    def test_multires_scan_windows_with_liveness(self, multiscale_scene,
+                                                 tmp_path):
+        """A mixed-resolution scene (load_allres multi-scale) must keep
+        scan windows (n_inner > 1) AND temporal liveness culling: cameras
+        train in per-resolution groups, the live cache is indexed by
+        global camera id with per-camera tile-grid slicing/padding
+        (round-4 gap: mixed resolutions silently forced n_inner=1 and
+        disabled liveness, train.py:597-598 then)."""
+        model_cfg = config_lib.ModelParams(
+            source_path=multiscale_scene, model_path=str(tmp_path / "ms"),
+            sh_degree=1, kernel_size=0.1, load_allres=True,
+        )
+        pipe = config_lib.PipelineParams(backend="pallas", key_capacity=2048)
+        # densify_until_iter=0 so liveness turns on right away (it waits
+        # for densification to end); all cadences multiples of 10 so
+        # n_inner stays 10
+        opt = config_lib.OptimizationParams(
+            iterations=60, densify_from_iter=10_000, densify_until_iter=0,
+            opacity_reset_interval=100_000, distortion_from_iter=20,
+            depth_normal_from_iter=20, lambda_distortion=10.0,
+        )
+        train_lib.training(model_cfg, opt, pipe, test_iterations=set(),
+                           save_iterations=set(), checkpoint_iterations=set(),
+                           quiet=False, interpret=True)
+        log = [json.loads(l) for l in open(
+            os.path.join(model_cfg.model_path, "train_log.jsonl"))]
+        recs = [r for r in log if "loss" in r]
+        assert recs[-1]["iter"] == 60
+        assert np.isfinite(recs[-1]["loss"])
+        # loss must actually improve (both resolution groups contribute)
+        assert recs[-1]["loss"] < recs[0]["loss"]
+
+    def test_multires_groups_visit_all_cameras(self, multiscale_scene,
+                                               tmp_path, capsys):
+        """Group scheduler sanity at the unit level: per-resolution groups
+        partition the cameras and weights are proportional to group size."""
+        from gof_tpu.data import scene as scene_lib
+
+        sc = scene_lib.Scene(multiscale_scene, str(tmp_path / "m2"),
+                             resolution=-1, load_allres=True)
+        sizes = {}
+        for c in sc.train_cameras:
+            sizes.setdefault(sc._scaled_size(c), 0)
+            sizes[sc._scaled_size(c)] += 1
+        assert len(sizes) == 2, sizes
+        # 4 views x [64, 32, 32, 32] cycle -> 4 at 64px, 12 at 32px
+        assert sorted(sizes.values()) == [4, 12]
 
 
 class TestDebugMode:
