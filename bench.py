@@ -262,6 +262,10 @@ def main():
                     help="also sweep the late-training scale (1M gaussians); "
                          "on by default")
     ap.add_argument("--no-late", dest="late", action="store_false")
+    ap.add_argument("--orbit", type=int, default=8,
+                    help="cameras in the late-phase orbit sweep (temporal "
+                         "liveness culling under one-epoch-stale bounds — "
+                         "the real training access pattern); 0 disables")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -305,6 +309,19 @@ def main():
             rec[f"{tag}_iters_per_sec"] = round(ips, 3)
             rec[f"{tag}_keys"] = int(nk)
             rec[f"{tag}_vs_baseline"] = round(ips / 11.1, 3)
+
+    if args.orbit > 0:
+        # late-training steady state over a rotating camera orbit: liveness
+        # bounds are one epoch stale (the real access pattern), not the
+        # single-repeated-camera best case
+        ips, nk, live_frac, skip_frac = bench_orbit(
+            1_000_000, args.width, args.height, 3_670_016, args.orbit,
+            max(args.reps, 2 * args.orbit), "orbit", sigma=-4.3, verbose=True)
+        rec["orbit_iters_per_sec"] = round(ips, 3)
+        rec["orbit_keys"] = int(nk)
+        rec["orbit_vs_baseline"] = round(ips / 11.1, 3)
+        rec["orbit_live_frac"] = round(live_frac, 4)
+        rec["orbit_skip_frac"] = round(skip_frac, 5)
 
     print(json.dumps(rec))
 

@@ -306,14 +306,23 @@ def densify_and_prune(
         a2 = new_active.at[jnp.where(ok, targets, new_active.shape[0])].set(True, mode="drop")
         if moments is not None:
             # zero optimizer moments at reused slots; `moments` may be a whole
-            # optax state — only leaves shaped exactly like a Gaussian param
-            # leaf are touched (protects e.g. appearance embeddings whose
-            # leading dim could coincide with the capacity)
+            # optax state — touched leaves are (a) shaped exactly like a
+            # Gaussian param leaf (row zeroing) or (b) the fused Adam's dense
+            # [NCOL, CAP] moment buffers (column zeroing; see
+            # train.FusedAdamState for the layout rationale). Appearance
+            # leaves match neither (their leading dim would have to coincide
+            # with the capacity AND the shape with a param leaf).
             param_shapes = {tuple(p.shape) for p in params}
 
             def zero_slot(m):
-                if hasattr(m, "shape") and tuple(m.shape) in param_shapes and jnp.issubdtype(m.dtype, jnp.floating):
+                if not (hasattr(m, "shape")
+                        and jnp.issubdtype(m.dtype, jnp.floating)):
+                    return m
+                if tuple(m.shape) in param_shapes:
                     return _scatter_rows(m, jnp.zeros_like(m), targets, ok)
+                if m.ndim == 2 and m.shape[1] == cap and m.shape[0] != cap:
+                    t = jnp.where(ok, targets, cap)
+                    return m.at[:, t].set(0.0, mode="drop")
                 return m
 
             moments = jax.tree.map(zero_slot, moments)

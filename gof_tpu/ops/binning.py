@@ -104,6 +104,14 @@ class Binning(NamedTuple):
     num_slots: jnp.ndarray  # scalar int32: class-padded slot demand — what
     # capacity sizing must satisfy (>= num_keys; the pad is the per-class
     # rounding of each gaussian's key count)
+    # per-slot payload rows carried THROUGH the sorts (f32 bit patterns in
+    # int32, [NC, CAP]), when the caller passed payload_cols: the post-sort
+    # `flat[slot_to_gaussian]` row gather this replaces costs ~10 ms/column
+    # at 7.3M slots (XLA lowers it to a scalar pipeline) while extra sort
+    # operands are FREE (measured: the 3-key 7.3M-row sort is 17.8 ms with
+    # 0 extras and 17.9 ms with 24) and the pre-sort class_gather resolves
+    # monotonic indices on the MXU at ~10x the gather's rate.
+    payload: jnp.ndarray | None = None
 
 
 def _searchsorted_left(sorted_keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:

@@ -30,13 +30,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CH = 1024  # rows per chunk
-ACC_W = 2048  # accumulator lanes (gaussian ids in flight)
-FLUSH = ACC_W // 2  # lanes flushed per window advance
+ACC_W = 2048  # default accumulator lanes (gaussian ids in flight)
 
 
-def _reduce_kernel(ncols: int, nchunks: int,
+def acc_width_for(R: int, P: int) -> int:
+    """Accumulator width: ~2x the expected id span of one CH-row chunk.
+
+    Ids are ascending, so chunk c covers ids around [c*P/nchunks, ...]; a
+    window narrower than the span forces flush+repass cycles (a sequential
+    DMA + full-accumulator shift each) INSIDE every chunk — at 3M gaussians
+    over a 655k-row compact buffer (span ~4.7k ids vs the old fixed 2048
+    lanes) that serialized the kernel ~3x. Cap at 16384 lanes (1.5 MB VMEM
+    at 24 columns; the indicator matmul stays ~5 us/chunk on the MXU)."""
+    nchunks = max(R // CH, 1)
+    span = (P + 1 + nchunks - 1) // nchunks
+    w = ACC_W
+    while w < 2 * span and w < 16384:
+        w *= 2
+    return w
+
+
+def _reduce_kernel(ncols: int, nchunks: int, acc_w: int,
                    chunk_last_ref, rows_hbm, gids_hbm, out_hbm,
                    acc, rbuf, gbuf, rsem, gsem, wsem, base_ref):
+    FLUSH = acc_w // 2  # lanes flushed per window advance
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -69,7 +86,7 @@ def _reduce_kernel(ncols: int, nchunks: int,
     gids = gbuf[slot]  # [1, CH] ascending
     last = chunk_last_ref[c]
 
-    lane_acc = jax.lax.broadcasted_iota(jnp.int32, (ACC_W, CH), 0)
+    lane_acc = jax.lax.broadcasted_iota(jnp.int32, (acc_w, CH), 0)
 
     def flush_half():
         b0 = pl.multiple_of(base_ref[0], FLUSH)
@@ -87,16 +104,16 @@ def _reduce_kernel(ncols: int, nchunks: int,
     def one_pass(processed):
         b0 = base_ref[0]
         l = gids - b0  # [1, CH]
-        sel = (l >= 0) & (l < ACC_W) & (gids >= processed)
+        sel = (l >= 0) & (l < acc_w) & (gids >= processed)
         lsel = jnp.where(sel, l, -1)
         ind = (lane_acc == lsel).astype(jnp.float32)  # [ACC_W, CH]
         partial = jax.lax.dot_general(
             rows, ind, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # [ncols, ACC_W]
         acc[:] = acc[:] + partial
-        return b0 + ACC_W  # new watermark: everything below is processed
+        return b0 + acc_w  # new watermark: everything below is processed
 
-    # first pass covers ids in [base, base + ACC_W)
+    # first pass covers ids in [base, base + acc_w)
     processed = one_pass(jnp.int32(0))
 
     # sparse chunks can span beyond the window: advance + re-pass
@@ -121,13 +138,15 @@ def sorted_segment_reduce(rows_t: jnp.ndarray, gids_sorted: jnp.ndarray,
                           P: int, interpret: bool = False) -> jnp.ndarray:
     """Sum rows_t [C, R] (id-ascending columns) per gaussian id -> [C, OUT].
 
-    gids_sorted: [R] ascending int32 in [0, P]; OUT = align(P + 1) + ACC_W
+    gids_sorted: [R] ascending int32 in [0, P]; OUT = align(P + 1) + acc_w
     (caller slices [:, :P]). R must be a multiple of 1024.
     """
     C, R = rows_t.shape
     assert R % CH == 0, R
     nchunks = R // CH
-    out_w = -(-(P + 1) // FLUSH) * FLUSH + ACC_W
+    acc_w = acc_width_for(R, P)
+    flush = acc_w // 2
+    out_w = -(-(P + 1) // flush) * flush + acc_w
     chunk_last = gids_sorted[CH - 1:: CH]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -138,7 +157,7 @@ def sorted_segment_reduce(rows_t: jnp.ndarray, gids_sorted: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((C, ACC_W), jnp.float32),
+            pltpu.VMEM((C, acc_w), jnp.float32),
             pltpu.VMEM((2, C, CH), jnp.float32),
             pltpu.VMEM((2, 1, CH), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -148,7 +167,7 @@ def sorted_segment_reduce(rows_t: jnp.ndarray, gids_sorted: jnp.ndarray,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_reduce_kernel, C, nchunks),
+        functools.partial(_reduce_kernel, C, nchunks, acc_w),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C, out_w), jnp.float32),
         interpret=interpret,

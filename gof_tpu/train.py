@@ -51,9 +51,48 @@ class TrainParams(NamedTuple):
 
 
 class FusedAdamState(NamedTuple):
+    """Adam moments for the six gaussian groups live in ONE dense [NCOL, CAP]
+    f32 buffer per moment (NCOL = 59 = 3+3+45+3+4+1 flattened param columns,
+    CAP in the lane dimension).
+
+    WHY: a [CAP, C] buffer (or worse, [CAP, 15, 3] leaves mirroring
+    features_rest) is stored in TPU tiled layouts that pad the minor
+    dimension(s) to the (8, 128) vector tile — measured on v5e at 3M
+    gaussians: elementwise over [P, 59] runs at 244 GB/s effective vs
+    609 GB/s for [59, P], and a default-layout f32[3M, 15, 3] buffer is a
+    24.6 GB allocation (42x pad, AOT-rejected for exceeding HBM). With
+    TrainParams-shaped moments the fused Adam cost 160 ms/step of the
+    449 ms 3M train step; the flat dense layout removes ~10x of that
+    traffic. Appearance-net moments (small, irregular) stay per-leaf.
+    Defaults on the app fields keep legacy 3-field checkpoint pickles
+    loadable (load_checkpoint migrates them).
+    """
+
     count: jnp.ndarray
-    mu: TrainParams  # moments shaped exactly like the params so densify's
-    nu: TrainParams  # slot-zeroing and capacity growth treat them uniformly
+    mu_flat: jnp.ndarray  # [NCOL, CAP] f32
+    nu_flat: jnp.ndarray  # [NCOL, CAP] f32
+    mu_app: object = None  # (app_net, app_emb) moment pytree or None
+    nu_app: object = None
+
+
+# flattened column count per gaussian param leaf (order = GaussianParams)
+def _gauss_cols(gg: gm.GaussianParams) -> list:
+    return [int(np.prod(l.shape[1:])) if l.ndim > 1 else 1 for l in gg]
+
+
+def flatten_gauss_t(gg: gm.GaussianParams) -> jnp.ndarray:
+    """[CAP, ...] leaves -> one dense [NCOL, CAP] buffer (rows = columns of
+    the per-gaussian parameter matrix, order xyz|f_dc|f_rest|scaling|
+    rotation|opacity)."""
+    P = gg.xyz.shape[0]
+    return jnp.concatenate([l.reshape(P, -1).T for l in gg], axis=0)
+
+
+def unflatten_gauss_t(f: jnp.ndarray, like: gm.GaussianParams) -> gm.GaussianParams:
+    cols = _gauss_cols(like)
+    parts = jnp.split(f, np.cumsum(cols)[:-1], axis=0)
+    return gm.GaussianParams(
+        *[p.T.reshape(l.shape) for p, l in zip(parts, like)])
 
 
 def make_optimizer(opt: config_lib.OptimizationParams, spatial_lr_scale: float):
@@ -63,9 +102,9 @@ def make_optimizer(opt: config_lib.OptimizationParams, spatial_lr_scale: float):
     The reference keeps one torch Adam with 8 param groups. A literal
     optax.multi_transform translation spends ~4 ms/step in ~50 tiny fused
     kernels at 100k gaussians (per-fusion overhead, not bandwidth), so the
-    six gaussian groups run the identical Adam math over one concatenated
-    [P, C] buffer with a per-column learning rate; the appearance params run
-    per-leaf. Moments live in TrainParams-shaped pytrees.
+    six gaussian groups run the identical Adam math over one dense
+    [NCOL, CAP] buffer (see FusedAdamState for why the lanes-major layout)
+    with a per-ROW learning rate; the appearance params run per-leaf.
     """
 
     def xyz_lr(step):
@@ -80,11 +119,21 @@ def make_optimizer(opt: config_lib.OptimizationParams, spatial_lr_scale: float):
 
     b1, b2, eps = 0.9, 0.999, 1e-15
 
+    def app_moments(params: TrainParams):
+        if params.app_net is None and params.app_emb is None:
+            return None
+        return jax.tree.map(jnp.zeros_like,
+                            (params.app_net, params.app_emb))
+
     def init(params: TrainParams):
-        z = jax.tree.map(jnp.zeros_like, params)
+        ncol = sum(_gauss_cols(params.gauss))
+        cap = params.gauss.xyz.shape[0]
         return FusedAdamState(
             count=jnp.zeros((), jnp.int32),
-            mu=z, nu=jax.tree.map(jnp.zeros_like, params),
+            mu_flat=jnp.zeros((ncol, cap), jnp.float32),
+            nu_flat=jnp.zeros((ncol, cap), jnp.float32),
+            mu_app=app_moments(params),
+            nu_app=app_moments(params),
         )
 
     def update(grads: TrainParams, state: FusedAdamState, params=None):
@@ -100,27 +149,18 @@ def make_optimizer(opt: config_lib.OptimizationParams, spatial_lr_scale: float):
             upd = (-lr) * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
             return upd, m2, v2
 
-        # --- gaussian groups: one [P, C] buffer, per-column lr ---
+        # --- gaussian groups: one [NCOL, CAP] buffer, per-row lr ---
         gg = grads.gauss
-        P = gg.xyz.shape[0]
-        leaves = list(gg)  # xyz, f_dc, f_rest, scaling, rotation, opacity
-        cols = [int(np.prod(l.shape[1:])) if l.ndim > 1 else 1 for l in leaves]
+        cols = _gauss_cols(gg)
         lrs = [xyz_lr(state.count), opt.feature_lr, opt.feature_lr / 20.0,
                opt.scaling_lr, opt.rotation_lr, opt.opacity_lr]
-        lr_cols = jnp.concatenate(
+        lr_rows = jnp.concatenate(
             [jnp.broadcast_to(jnp.asarray(lr, jnp.float32)[None], (c,))
              for lr, c in zip(lrs, cols)])
 
-        def flat(t):
-            return jnp.concatenate([l.reshape(P, -1) for l in t], axis=1)
-
         upd_f, mu_f, nu_f = adam_leaf(
-            flat(gg), flat(state.mu.gauss), flat(state.nu.gauss), lr_cols[None, :])
-
-        def unflat(f):
-            parts = jnp.split(f, np.cumsum(cols)[:-1], axis=1)
-            return gm.GaussianParams(
-                *[p.reshape(l.shape) for p, l in zip(parts, leaves)])
+            flatten_gauss_t(gg), state.mu_flat, state.nu_flat,
+            lr_rows[:, None])
 
         # --- appearance params: per-leaf (few, small) ---
         def app_update(gtree, mtree, vtree, lr):
@@ -132,18 +172,20 @@ def make_optimizer(opt: config_lib.OptimizationParams, spatial_lr_scale: float):
                 lambda t: t[i], trip, is_leaf=lambda t: isinstance(t, tuple))
             return pick(0), pick(1), pick(2)
 
+        mu_net, mu_emb = state.mu_app if state.mu_app is not None else (None, None)
+        nu_net, nu_emb = state.nu_app if state.nu_app is not None else (None, None)
         upd_net, mu_net, nu_net = app_update(
-            grads.app_net, state.mu.app_net, state.nu.app_net,
-            opt.appearance_network_lr)
+            grads.app_net, mu_net, nu_net, opt.appearance_network_lr)
         upd_emb, mu_emb, nu_emb = app_update(
-            grads.app_emb, state.mu.app_emb, state.nu.app_emb,
-            opt.appearance_embeddings_lr)
+            grads.app_emb, mu_emb, nu_emb, opt.appearance_embeddings_lr)
 
-        updates = TrainParams(gauss=unflat(upd_f), app_net=upd_net, app_emb=upd_emb)
+        updates = TrainParams(gauss=unflatten_gauss_t(upd_f, gg),
+                              app_net=upd_net, app_emb=upd_emb)
+        has_app = grads.app_net is not None or grads.app_emb is not None
         new_state = FusedAdamState(
-            count=count_inc,
-            mu=TrainParams(gauss=unflat(mu_f), app_net=mu_net, app_emb=mu_emb),
-            nu=TrainParams(gauss=unflat(nu_f), app_net=nu_net, app_emb=nu_emb),
+            count=count_inc, mu_flat=mu_f, nu_flat=nu_f,
+            mu_app=(mu_net, mu_emb) if has_app else None,
+            nu_app=(nu_net, nu_emb) if has_app else None,
         )
         return updates, new_state
 
@@ -532,6 +574,14 @@ def grow_capacity(tp: TrainParams, gstate: gm.GaussianState, opt_state, old_cap:
             x = np.asarray(leaf)
             out = np.zeros((new_cap,) + x.shape[1:], x.dtype)
             out[:old_cap] = x
+            return jnp.asarray(out)
+        # the fused Adam's dense [NCOL, CAP] moment buffers grow in the
+        # lane (slot) dimension
+        if (hasattr(leaf, "ndim") and leaf.ndim == 2
+                and leaf.shape[1] == old_cap and leaf.shape[0] != old_cap):
+            x = np.asarray(leaf)
+            out = np.zeros((x.shape[0], new_cap), x.dtype)
+            out[:, :old_cap] = x
             return jnp.asarray(out)
         return leaf
 
@@ -1080,10 +1130,10 @@ def _debug_dump(model_path, iteration, tp, gstate, opt_state, extra):
     for k, v in gstate._asdict().items():
         arrs[f"gstate_{k}"] = np.asarray(v)
     arrs["adam_count"] = np.asarray(opt_state.count)
-    for k, v in opt_state.mu.gauss._asdict().items():
-        arrs[f"adam_mu_{k}"] = np.asarray(v)
-    for k, v in opt_state.nu.gauss._asdict().items():
-        arrs[f"adam_nu_{k}"] = np.asarray(v)
+    # dense [NCOL, CAP] moment buffers; row blocks follow GaussianParams
+    # field order (see flatten_gauss_t)
+    arrs["adam_mu_flat"] = np.asarray(opt_state.mu_flat)
+    arrs["adam_nu_flat"] = np.asarray(opt_state.nu_flat)
     arrs.update(extra)
     np.savez_compressed(fn, **arrs)
     return fn
@@ -1177,7 +1227,22 @@ def load_checkpoint(path):
 
     with open(path, "rb") as f:
         blob = _Unpickler(f).load()
-    return jax.tree.map(jnp.asarray, blob["tp"]), blob["opt_state"], blob["gstate"], blob["iter"]
+    opt_state = blob["opt_state"]
+    if isinstance(getattr(opt_state, "mu_flat", None), TrainParams):
+        # legacy checkpoint (moments stored as TrainParams-shaped pytrees,
+        # 3-field FusedAdamState): the field defaults let it unpickle with
+        # mu_flat/nu_flat bound to the old trees — flatten them into the
+        # dense [NCOL, CAP] layout
+        mu_tp, nu_tp = opt_state.mu_flat, opt_state.nu_flat
+        has_app = mu_tp.app_net is not None or mu_tp.app_emb is not None
+        opt_state = FusedAdamState(
+            count=opt_state.count,
+            mu_flat=flatten_gauss_t(jax.tree.map(jnp.asarray, mu_tp.gauss)),
+            nu_flat=flatten_gauss_t(jax.tree.map(jnp.asarray, nu_tp.gauss)),
+            mu_app=(mu_tp.app_net, mu_tp.app_emb) if has_app else None,
+            nu_app=(nu_tp.app_net, nu_tp.app_emb) if has_app else None,
+        )
+    return jax.tree.map(jnp.asarray, blob["tp"]), opt_state, blob["gstate"], blob["iter"]
 
 
 def main(argv=None):

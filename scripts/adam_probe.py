@@ -56,7 +56,7 @@ import optax  # noqa: E402
 def upd(g, s, tp):
     u, s2 = tx.update(g, s, tp)
     tp2 = optax.apply_updates(tp, u)
-    return tp2.gauss.xyz[0, 0] + s2.mu.gauss.xyz[0, 0]
+    return tp2.gauss.xyz[0, 0] + s2.mu_flat[0, 0]
 
 
 t("tx.update + apply (fused adam)", upd,
@@ -70,7 +70,7 @@ def upd_gate(g, s, tp, ov):
         lambda a, b: jnp.where(ov, a, b) if hasattr(b, "dtype") else b, old, new)
     tp3 = gate(tp, tp2)
     s3 = gate(s, s2)
-    return tp3.gauss.xyz[0, 0] + s3.mu.gauss.xyz[0, 0]
+    return tp3.gauss.xyz[0, 0] + s3.mu_flat[0, 0]
 
 
 t("adam + overflow gate", upd_gate,

@@ -27,6 +27,8 @@ ap.add_argument("--capacity", type=int, default=3_670_016)
 ap.add_argument("--compact-cap", type=int, default=458_752)
 ap.add_argument("--sigma", type=float, default=-4.3)
 ap.add_argument("--reps", type=int, default=10)
+ap.add_argument("--only", type=str, default="",
+                help="run only variants whose name contains this substring")
 args = ap.parse_args()
 
 N = args.gaussians
@@ -48,6 +50,9 @@ opt_state0 = tx.init(tp0)
 
 def run(name, with_stats, with_reg, loss_mode="full", do_opt=True,
         grad=True):
+    if args.only and args.only not in name:
+        return
+
     @jax.jit
     def step(gauss, opt_state, step_i):
         tp = train_lib.TrainParams(gauss=gauss, app_net=None, app_emb=None)

@@ -1,88 +1,121 @@
-"""THE payload-gather question (late-scale design): how to get [CAP, 16]
-per-key payload rows into (tile, depth) slot order fast.
+"""Probe: payload-delivery strategies for the blend kernels at the 3M
+endgame point (P=3M gaussians, CAP~7.3M key slots).
 
-Candidates measured (D2H-anchored timing, distinct input buffers — the
-tunnel dedupes identical dispatches and block_until_ready is unreliable):
+The production path gathers the 16-col payload AFTER the (tile,depth,id)
+sort: `flat[slot_to_gaussian].T` — measured ~161 ms at this shape (~10 ms
+per gathered column + ~40 ms fixed). Candidates:
 
-  A. XLA row gather from [P,16] f32 vs table size (find the table-size cliff)
-  B. same from a bf16 table (half the table bytes)
-  C. column-split gathers (2 x [P,8])
-  D. lax.sort carrying the 16 payload cols (apply-permutation-by-sort)
-  E. narrow (tile,depth,gid) sort for reference
+  A. post-sort XLA row gather (status quo)          flat[gid].T
+  B. pre-sort class_gather (monotonic, MXU) of the payload columns, then
+     CARRY them through the 3-key sort as extra int32 operands
+  C. B but bf16-packed (2 cols per int32 operand) to halve sort payload
+  D. post-sort lane-axis gather                      flat_t[:, gid]
+
+All data device-generated; timing is D2H-anchored (the tunnel's
+block_until_ready is unreliable).
 """
-import argparse
 import time
 
+import _path  # noqa: F401,E402
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-ap = argparse.ArgumentParser()
-ap.add_argument("--cap", type=int, default=4_194_304)
-ap.add_argument("--cpu", action="store_true")
-args = ap.parse_args()
-if args.cpu:
-    jax.config.update("jax_platforms", "cpu")
+from gof_tpu.utils import compile_cache
+from gof_tpu.ops import class_gather
 
-CAP = args.cap
-rng = np.random.default_rng(0)
+compile_cache.enable()
+
+P = 3_000_000
+CAP = 7_340_032
 
 
-def t(name, fn, args_list, scalar_of, reps_hi=8):
-    f = jax.jit(fn)
-    o = f(*args_list[0])
-    _ = np.asarray(scalar_of(o))
+def timed(name, f, state, reps=10):
+    state = f(state)
+    _ = np.asarray(jax.tree.leaves(state)[0].ravel()[0])
 
     def run(n):
+        s = state
         t0 = time.perf_counter()
-        for i in range(n):
-            o = f(*args_list[i % len(args_list)])
-        _ = np.asarray(scalar_of(o))
+        for _ in range(n):
+            s = f(s)
+        _ = np.asarray(jax.tree.leaves(s)[0].ravel()[0])
         return time.perf_counter() - t0
 
     run(1)
     d2 = run(2)
-    dh = run(reps_hi)
-    per = (dh - d2) / (reps_hi - 2)
-    print(f"{name:58s} {per*1e3:8.2f} ms", flush=True)
-    return per
+    dn = run(reps)
+    dt = (dn - d2) / (reps - 2)
+    print(f"{name:44s} {dt*1e3:8.2f} ms", flush=True)
 
 
-for P in (100_000, 250_000, 500_000, 1_000_000):
-    table = jnp.asarray(rng.normal(size=(P, 16)), jnp.float32)
-    tables = [table, table * 1.001, table * 0.999]
-    idx = jnp.asarray(rng.integers(0, P, CAP), jnp.int32)
-    t(f"A: gather [CAP,16] from [{P},16] f32 ({P*64//2**20}MB)",
-      lambda tb, ix: tb[ix], [(tb, idx) for tb in tables], lambda o: o[0, 0])
-
-tableb = jnp.asarray(rng.normal(size=(1_000_000, 16)), jnp.bfloat16)
-tbs = [tableb, tableb * 1.001, tableb * 0.999]
-idx = jnp.asarray(rng.integers(0, 1_000_000, CAP), jnp.int32)
-t("B: gather [CAP,16] from [1M,16] bf16 (32MB)",
-  lambda tb, ix: tb[ix], [(tb, idx) for tb in tbs], lambda o: o[0, 0].astype(jnp.float32))
-
-table = jnp.asarray(rng.normal(size=(1_000_000, 16)), jnp.float32)
-tables = [table, table * 1.001, table * 0.999]
-t("C: 2 x gather [CAP,8] from [1M,8] halves",
-  lambda tb, ix: (tb[:, :8][ix], tb[:, 8:][ix]),
-  [(tb, idx) for tb in tables], lambda o: o[0][0, 0])
-
-pay = jnp.asarray(rng.normal(size=(CAP, 16)), jnp.float32)
-pays = [pay, pay * 1.001, pay * 0.999]
-tile = jnp.asarray(rng.integers(0, 1014, CAP), jnp.int32)
-dep = jnp.asarray(rng.integers(0, 1 << 30, CAP), jnp.int32)
-gid = jnp.asarray(rng.integers(0, 1_000_000, CAP), jnp.int32)
+def dev(fn):
+    return jax.jit(fn)()
 
 
-def sort_carry16(p, tl, dp):
-    cols = tuple(p[:, i] for i in range(16))
-    out = jax.lax.sort((tl, dp) + cols, num_keys=2, is_stable=True)
-    return out[2]
+k0 = jax.random.PRNGKey(0)
+tile = dev(lambda: jax.random.randint(k0, (CAP,), 0, 1014, jnp.int32))
+depth = dev(lambda: jax.random.randint(k0, (CAP,), 0, 2**30, jnp.int32))
+gid = dev(lambda: jax.random.randint(k0, (CAP,), 0, P, jnp.int32))
+# monotonic gidx with steps in {0,1} covering [0, P)
+gmono = dev(lambda: jnp.minimum(
+    jnp.cumsum(jax.random.bernoulli(
+        k0, P / CAP, (CAP,)).astype(jnp.int32)), P - 1))
+flat = dev(lambda: jax.random.normal(k0, (P + 1, 16), jnp.float32))
+flat24 = dev(lambda: jax.random.normal(k0, (P + 1, 24), jnp.float32))
+flat_t = dev(lambda: jax.random.normal(k0, (16, P + 1), jnp.float32))
+cols16 = dev(lambda: [jax.random.randint(jax.random.PRNGKey(i), (P,),
+                                         0, 2**30, jnp.int32)
+                      for i in range(16)])
+cols24 = dev(lambda: [jax.random.randint(jax.random.PRNGKey(i), (P,),
+                                         0, 2**30, jnp.int32)
+                      for i in range(24)])
 
 
-t("D: 2-key sort carrying 16 f32 cols", sort_carry16,
-  [(p, tile, dep) for p in pays], lambda o: o[0])
+def mut(x):
+    """Perturb an int32 key array so chained reps don't no-op."""
+    return x ^ 1
 
-t("E: 2-key sort carrying gid only",
-  lambda tl, dp, g: jax.lax.sort((tl, dp, g), num_keys=2, is_stable=True)[2],
-  [(tile, dep, gid + k) for k in range(3)], lambda o: o[0])
+
+# --- sorts ---
+def sort_n(nextra):
+    def f(s):
+        t, d, g = s
+        extras = tuple(d + i for i in range(nextra))
+        out = jax.lax.sort((t, d, g) + extras, num_keys=3, is_stable=False)
+        return out[0] ^ 1, out[1], out[2]
+    return f
+
+
+if not __import__("os").environ.get("SKIP_SORTS"):
+    for ne in (0, 8, 12, 16, 24):
+        timed(f"3-key sort + {ne} extra int32 operands", jax.jit(sort_n(ne)),
+              (tile, depth, gid))
+
+
+# --- post-sort gathers (state = (gid, acc); gid threads through unchanged)
+timed("A: row gather [P+1,16].T (production)",
+      jax.jit(lambda s: (s[0], s[1] + jnp.sum(flat[s[0]].T))),
+      (gid, jnp.float32(0)))
+timed("A24: row gather [P+1,24].T",
+      jax.jit(lambda s: (s[0], s[1] + jnp.sum(flat24[s[0]].T))),
+      (gid, jnp.float32(0)))
+timed("D: lane gather flat_t[:, gid]",
+      jax.jit(lambda s: (s[0], s[1] + jnp.sum(flat_t[:, s[0]]))),
+      (gid, jnp.float32(0)))
+
+
+# --- pre-sort class_gather (monotonic) ---
+def cg(cols):
+    def f(s):
+        gi, z = s
+        outs = class_gather.expand([(c, 4) for c in cols], gi, P,
+                                   force="kernel")
+        return gi, z + outs[0][0]
+    return f
+
+
+timed("B-gather: class_gather 16x4B cols", jax.jit(cg(cols16)),
+      (gmono, jnp.int32(0)))
+timed("B-gather: class_gather 24x4B cols", jax.jit(cg(cols24)),
+      (gmono, jnp.int32(0)))

@@ -112,7 +112,7 @@ def adam_gated(g):
         lambda x, y: jnp.where(ov, x, y) if hasattr(y, "dtype") else y, a, b)
     tp3 = gate(tp, tp2)
     st3 = gate(opt_state0, st)
-    return tp3.gauss.xyz + st3.mu.gauss.xyz
+    return tp3.gauss.xyz + st3.mu_flat[:3].T
 
 
 t("fused Adam + overflow gate", adam_gated, [(g,) for g in gs],
