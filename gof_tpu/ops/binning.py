@@ -175,6 +175,7 @@ def bin_gaussians(
     mean2d: jnp.ndarray | None = None,
     radius: jnp.ndarray | None = None,
     gather_force: str | None = None,
+    payload_cols: list[jnp.ndarray] | None = None,
 ) -> Binning:
     """Build the (tile, depth)-ordered duplicated Gaussian list.
 
@@ -190,6 +191,13 @@ def bin_gaussians(
         while the per-tile lists shrink ~15% (the reference bins the full
         circle bbox, forward.cu:363-371 — this is a strict-subset
         refinement of the same approximation).
+      payload_cols: optional list of [P] f32 per-gaussian columns to deliver
+        in sorted-slot order as Binning.payload [NC, CAP] (f32 bits in
+        int32). They ride the class sort, the class_gather, and the 3-key
+        sort — all measured ~free in extra operands — replacing the
+        caller's post-sort `flat[slot_to_gaussian]` row gather (~10 ms per
+        column at the 3M-gaussian design point). Values are stop_gradient'd
+        (the rasterizer's custom_vjp routes payload gradients manually).
 
     Pipeline (all static shapes):
       1. per-gaussian key count -> padded size class (elementwise ladder);
@@ -238,8 +246,9 @@ def bin_gaussians(
 
     extra = ((f2i(mean2d[:, 0]), f2i(mean2d[:, 1]), f2i(radius))
              if cull else ())
+    pay = tuple(f2i(jax.lax.stop_gradient(c)) for c in (payload_cols or ()))
     sorted_cols = jax.lax.sort(
-        (padded, packed_rect, depth_i, counts, gid) + extra,
+        (padded, packed_rect, depth_i, counts, gid) + extra + pay,
         num_keys=1, is_stable=True)
     gs_pad, rect_c, depth_c, cnt_c, gs_gid = sorted_cols[:5]
     # class c owns gaussians [gb[c], gb[c+1]) (padded values are exactly
@@ -319,9 +328,15 @@ def bin_gaussians(
     # 4. one 3-key sort: (tile, depth, id). Unique triples (a gaussian
     # appears at most once per tile), so no stability flag is needed; the id
     # key reproduces cub's stable-radix tie order (rasterizer_impl.cu:355).
-    tile_sorted, _, gauss_sorted = jax.lax.sort(
-        (tile, depth_bits, gid_sort), num_keys=3, is_stable=False
+    # Payload columns ride along: dead slots (sentinel tile) sort past
+    # bounds[-1] and the blend kernels mask DMA-window rows by segment
+    # bounds, so their (garbage) payload is never read.
+    pay_s = tuple(a[4 + len(extra) + i] for i in range(len(pay)))
+    sorted_out = jax.lax.sort(
+        (tile, depth_bits, gid_sort) + pay_s, num_keys=3, is_stable=False
     )
+    tile_sorted, gauss_sorted = sorted_out[0], sorted_out[2]
+    payload = jnp.stack(sorted_out[3:], axis=0) if pay else None
 
     # 5. per-tile segment bounds. Entries of one tile are contiguous after
     #    the sort, so end(t) == start(t+1).
@@ -333,6 +348,7 @@ def bin_gaussians(
         num_keys=num_keys,
         overflow=overflow,
         num_slots=num_slots,
+        payload=payload,
     )
 
 
@@ -418,6 +434,10 @@ def compact_live(b: Binning, lim_chunks: jnp.ndarray, live_capacity: int,
     src = jnp.clip(j + off, 0, b.slot_to_gaussian.shape[0] - 1)
     valid = j < jnp.minimum(live_demand, lcap)
     gid = jnp.where(valid, b.slot_to_gaussian[src], num_gaussians)
+    # sort-carried payload rows follow the same per-tile prefix map; slots
+    # past bounds_live[-1] read garbage but lie outside every segment, so
+    # the blend kernels' DMA-window masks never use them
+    payload_c = None if b.payload is None else b.payload[:, src]
     bounds_live = jnp.clip(live_start, 0, lcap)
     bc = Binning(
         slot_to_gaussian=gid,
@@ -425,6 +445,7 @@ def compact_live(b: Binning, lim_chunks: jnp.ndarray, live_capacity: int,
         num_keys=jnp.minimum(live_demand, lcap),
         overflow=b.overflow,
         num_slots=b.num_slots,
+        payload=payload_c,
     )
     return bc, truncated, live_overflow, live_demand
 

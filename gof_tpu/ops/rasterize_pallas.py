@@ -112,6 +112,35 @@ def pack_sigma6(M: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def payload_col_list(rgb, op_eff, M, u0, conic=None, mean2d=None):
+    """Per-gaussian payload as a list of [P] f32 columns, in the kernels'
+    row order (rgb 0:3 | op 3 | M row-major 4:13 | u0 13:16, + conic 16:19 |
+    mean2d 19:21 in the stats phase). Fed to binning.bin_gaussians as
+    payload_cols so the sorted-slot payload rides the binning sorts instead
+    of a post-sort row gather (see Binning.payload)."""
+    P = rgb.shape[0]
+    cols = [rgb[:, 0], rgb[:, 1], rgb[:, 2], op_eff]
+    Mf = M.reshape(P, 9)
+    cols += [Mf[:, i] for i in range(9)]
+    cols += [u0[:, 0], u0[:, 1], u0[:, 2]]
+    if conic is not None:
+        cols += [conic[:, 0], conic[:, 1], conic[:, 2],
+                 mean2d[:, 0], mean2d[:, 1]]
+    return cols
+
+
+def payload_from_binning(binning: Binning, with_stats: bool) -> jnp.ndarray:
+    """[16 or 24, CAP] f32 payload view of the sort-carried Binning.payload
+    (bitcast + zero-pad of the stats-phase spare rows)."""
+    p = jax.lax.bitcast_convert_type(binning.payload, jnp.float32)
+    ncols = PAYLOAD_STATS_COLS if with_stats else P_COLS
+    if p.shape[0] < ncols:
+        p = jnp.concatenate(
+            [p, jnp.zeros((ncols - p.shape[0], p.shape[1]), jnp.float32)],
+            axis=0)
+    return p
+
+
 def build_payload16(rgb, op_eff, M, u0, binning: Binning,
                     conic=None, mean2d=None) -> jnp.ndarray:
     """Gather per-Gaussian rows into the (tile, depth)-sorted slot layout.
@@ -955,12 +984,17 @@ def _raster_fwd(meta, rgb, op_eff, M, u0, conic, mean2d, carrier,
     assert P < (1 << 24), f"gaussian pool {P} exceeds exact-f32 id range"
     mv = _meta_vec(focal_x, focal_y, bg, meta.width, meta.height)
     # in the stats phase the aux columns (conic/mean2d) ride the SAME slot
-    # gather as the blend payload (slot gathers pay a large fixed cost per
-    # op); the forward kernel streams only rows 0:16 of the wider table
-    payload = build_payload16(
-        rgb, op_eff, M, u0, binning,
-        conic=conic if meta.with_stats else None,
-        mean2d=mean2d if meta.with_stats else None)
+    # delivery as the blend payload; the forward kernel streams only rows
+    # 0:16 of the wider table. The payload normally arrives sort-carried in
+    # the Binning (see binning.bin_gaussians payload_cols); the row-gather
+    # fallback covers callers that bin without payload columns.
+    if binning.payload is not None:
+        payload = payload_from_binning(binning, meta.with_stats)
+    else:
+        payload = build_payload16(
+            rgb, op_eff, M, u0, binning,
+            conic=conic if meta.with_stats else None,
+            mean2d=mean2d if meta.with_stats else None)
     out = rasterize_fwd_pallas(payload, binning, mv, meta.ntx, meta.ntx * meta.nty,
                                interpret=meta.interpret, with_reg=meta.with_reg)
     res = (payload, out, binning, mv, M, u0, P)

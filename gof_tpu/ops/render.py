@@ -93,11 +93,23 @@ def render(
     ntx, nty = binning.tile_grid(camera.width, camera.height)
     rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid, ntx, nty,
                                    radius_xy=pre.radius_xy)
-    b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity,
-                              mean2d=pre.mean2d, radius=pre.radius)
     # The 2D-dilation compensation is detached (its cov2D backward is disabled
     # in the reference, backward.cu:991-1007).
     op_eff = opacities * jnp.where(pre.valid, jax.lax.stop_gradient(pre.coef), 0.0)
+    payload_cols = None
+    if backend == "pallas":
+        # deliver the blend payload in sorted-slot order THROUGH the binning
+        # sorts (columns follow rasterize_pallas.build_payload16's layout:
+        # rgb | op_eff | M row-major | u0, + conic | mean2d in the stats
+        # phase); bin_gaussians stop_gradients them — rasterize's custom_vjp
+        # computes the real parameter gradients from the reduce path.
+        payload_cols = rp.payload_col_list(
+            pre.rgb, op_eff, pre.v2g_M, pre.v2g_u0,
+            conic=pre.conic if with_stats else None,
+            mean2d=pre.mean2d if with_stats else None)
+    b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity,
+                              mean2d=pre.mean2d, radius=pre.radius,
+                              payload_cols=payload_cols)
     if carrier is None:
         carrier = jnp.zeros((P, 3), jnp.float32)
 

@@ -61,7 +61,13 @@ def pin_env(wid: int, mode: str) -> dict:
                 "TPU_PROCESS_BOUNDS": "1,1,1",
                 "TPU_CHIPS_PER_PROCESS_BOUNDS": "1,1,1"}
     if mode == "cpu":
-        return {"JAX_PLATFORMS": "cpu"}
+        # A site-installed PJRT plugin (e.g. an `axon` remote-TPU backend
+        # registered from sitecustomize) can claim an EXCLUSIVE device
+        # tunnel per process regardless of JAX_PLATFORMS; clear its trigger
+        # env vars so CPU workers never contend for the chip.
+        return {"JAX_PLATFORMS": "cpu",
+                "PALLAS_AXON_POOL_IPS": "",
+                "PJRT_DEVICE": "CPU"}
     return {}
 
 
@@ -121,7 +127,12 @@ def main():
     ap.add_argument("--tnt_eval_data", default="",
                     help="TNT ground-truth dir to chain the F-score eval "
                          "after mesh extraction")
+    ap.add_argument("--train_args", default="",
+                    help="extra flags appended to every train command "
+                         "(space-separated), e.g. --train_args "
+                         "'--iterations 1000 --densify_until_iter 600'")
     ns = ap.parse_args()
+    extra_train = ns.train_args.split() if ns.train_args else []
 
     jobs = []
     if ns.dataset == "mipnerf360":
@@ -131,7 +142,7 @@ def main():
             jobs.append(scene_job(
                 os.path.join(ns.data_root, scene),
                 os.path.join(ns.out_root, scene),
-                ["-r", str(factor), "--eval"],
+                ["-r", str(factor), "--eval"] + extra_train,
             ))
     elif ns.dataset == "dtu":
         # run_dtu.py:8-21: -r2, decoupled appearance, lambda_distortion 1000;
@@ -150,7 +161,7 @@ def main():
             jobs.append(scene_job(
                 os.path.join(ns.data_root, name), model,
                 ["-r", "2", "--use_decoupled_appearance",
-                 "--lambda_distortion", "1000"],
+                 "--lambda_distortion", "1000"] + extra_train,
                 do_mesh=True, do_tsdf=True, tail=tail,
             ))
     elif ns.dataset == "tnt":
@@ -173,7 +184,8 @@ def main():
                 tail.append(cmd)
             jobs.append(scene_job(
                 os.path.join(ns.data_root, scene), model,
-                ["-r", "2", "--use_decoupled_appearance"], tail=tail,
+                ["-r", "2", "--use_decoupled_appearance"] + extra_train,
+                tail=tail,
             ))
     else:
         for scene in NERF_SYNTHETIC:
@@ -182,7 +194,7 @@ def main():
             jobs.append(scene_job(
                 os.path.join(ns.data_root, scene),
                 os.path.join(ns.out_root, scene),
-                ["--white_background", "--eval"],
+                ["--white_background", "--eval"] + extra_train,
             ))
 
     failures = dispatch(jobs, max(ns.workers, 1), ns.pin)

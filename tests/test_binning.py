@@ -357,3 +357,54 @@ class TestClassGatherKernel:
         np.testing.assert_array_equal(np.asarray(b_x.bounds),
                                       np.asarray(b_k.bounds))
         assert int(b_x.num_keys) == int(b_k.num_keys)
+
+
+class TestPayloadCarry:
+    """Sort-carried payload (Binning.payload) vs the post-sort row gather."""
+
+    def test_payload_matches_gather(self, rng):
+        means, scales, rots, opac, shs, cam = make_scene(rng, n=48)
+        pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
+        ntx, nty = binning.tile_grid(cam.width, cam.height)
+        rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid,
+                                       ntx, nty, radius_xy=pre.radius_xy)
+        P = means.shape[0]
+        cols = [jnp.asarray(rng.normal(size=P) * 10.0 ** rng.uniform(-6, 6, P),
+                            jnp.float32) for _ in range(5)]
+        b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=4096,
+                                  mean2d=pre.mean2d, radius=pre.radius,
+                                  payload_cols=cols, gather_force="xla")
+        assert b.payload.shape == (5, 4096)
+        pay = jax.lax.bitcast_convert_type(b.payload, jnp.float32)
+        flat = jnp.stack(cols, axis=1)
+        flat = jnp.concatenate([flat, jnp.zeros((1, 5), jnp.float32)], axis=0)
+        want = flat[b.slot_to_gaussian].T
+        nk = int(b.num_keys)
+        # live slots must match the gather BIT-EXACTLY (f32 bits ride int32)
+        np.testing.assert_array_equal(np.asarray(pay[:, :nk]),
+                                      np.asarray(want[:, :nk]))
+
+    def test_payload_survives_compact_live(self, rng):
+        means, scales, rots, opac, shs, cam = make_scene(rng, n=48)
+        pre = quadrics.preprocess(means, scales, rots, shs, 0, cam, 0.1)
+        ntx, nty = binning.tile_grid(cam.width, cam.height)
+        rects = binning.gaussian_rects(pre.mean2d, pre.radius, pre.valid,
+                                       ntx, nty, radius_xy=pre.radius_xy)
+        P = means.shape[0]
+        cols = [jnp.asarray(rng.normal(size=P), jnp.float32)
+                for _ in range(3)]
+        b = binning.bin_gaussians(pre.depth, rects, ntx, nty, capacity=4096,
+                                  payload_cols=cols, gather_force="xla")
+        ntiles = ntx * nty
+        lim = jnp.full((ntiles,), binning.LIM_INF, jnp.int32)
+        bc, truncated, ovf, demand = binning.compact_live(b, lim, 4096, P)
+        assert not bool(ovf)
+        # unbounded limits: compaction is the identity on live slots,
+        # payload included
+        pay = jax.lax.bitcast_convert_type(bc.payload, jnp.float32)
+        flat = jnp.stack(cols, axis=1)
+        flat = jnp.concatenate([flat, jnp.zeros((1, 3), jnp.float32)], axis=0)
+        want = flat[bc.slot_to_gaussian].T
+        nk = int(bc.num_keys)
+        np.testing.assert_array_equal(np.asarray(pay[:, :nk]),
+                                      np.asarray(want[:, :nk]))
